@@ -1,0 +1,94 @@
+import os
+
+import numpy as np
+import pytest
+
+from speechain_tpu.utils.yamlref import load_yaml
+from speechain_tpu.utils.fileio import (
+    read_idx2data_file,
+    write_idx2data_file,
+    read_wav,
+    write_wav,
+    read_data_by_path,
+)
+from speechain_tpu.utils.registry import register, resolve
+
+
+def test_yaml_ref_basic():
+    cfg = load_yaml(
+        """
+        d_model: 256
+        layers: 4
+        enc_dim: !ref <d_model>
+        name: !ref model_<d_model>x<layers>
+        t: !tuple (1, 2, 3)
+        l: !list [1, a, 3]
+        s: !str 42
+        plain: !ref nothing_here
+        """
+    )
+    assert cfg["enc_dim"] == 256 and isinstance(cfg["enc_dim"], int)
+    assert cfg["name"] == "model_256x4"
+    assert cfg["t"] == (1, 2, 3)
+    assert cfg["l"] == [1, "a", 3]
+    assert cfg["s"] == "42"
+    assert cfg["plain"] == "nothing_here"
+
+
+def test_yaml_ref_indexing_and_nested():
+    cfg = load_yaml(
+        """
+        dims: [80, 256, 512]
+        model:
+          input: !ref <dims[0]>
+          hidden: !ref <dims[2]>
+        """
+    )
+    assert cfg["model"]["input"] == 80
+    assert cfg["model"]["hidden"] == 512
+
+
+def test_yaml_ref_forward_reference_fails():
+    with pytest.raises((KeyError, ValueError)):
+        load_yaml("a: !ref <b>\nb: 3\n")
+
+
+def test_idx2data_roundtrip(tmp_path):
+    p = str(tmp_path / "idx2text")
+    write_idx2data_file({"utt1": "hello world", "utt2": "foo"}, p)
+    back = read_idx2data_file(p)
+    assert back == {"utt1": "hello world", "utt2": "foo"}
+    lens = read_idx2data_file(p)
+    assert list(lens) == ["utt1", "utt2"]
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 16000
+    t = np.linspace(0, 1, sr, endpoint=False)
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, wav, sr)
+    back, sr2 = read_wav(p)
+    assert sr2 == sr
+    assert back.shape == wav.shape
+    assert np.max(np.abs(back - wav)) < 1e-3  # 16-bit quantization
+
+
+def test_read_data_by_path_npz(tmp_path):
+    feat = np.random.randn(17, 80).astype(np.float32)
+    p = str(tmp_path / "f.npz")
+    np.savez(p, feat=feat, sample_rate=16000)
+    data, sr = read_data_by_path(p, return_sample_rate=True)
+    assert sr == 16000
+    np.testing.assert_allclose(data, feat)
+
+
+def test_registry():
+    @register("test.dummy", "dummy.Dummy")
+    class Dummy:
+        pass
+
+    assert resolve("test.dummy") is Dummy
+    assert resolve("dummy.Dummy") is Dummy
+    with pytest.raises(KeyError):
+        resolve("not.registered.at.all.Nope")
