@@ -48,9 +48,13 @@ def test_yaml_ref_indexing_and_nested():
     assert cfg["model"]["hidden"] == 512
 
 
-def test_yaml_ref_forward_reference_fails():
+def test_yaml_ref_forward_reference():
+    # forward refs to plain values are fine (matches reference semantics) ...
+    cfg = load_yaml("a: !ref <b>\nb: 3\n")
+    assert cfg["a"] == 3
+    # ... but a ref chain must be declared in order
     with pytest.raises((KeyError, ValueError)):
-        load_yaml("a: !ref <b>\nb: 3\n")
+        load_yaml("a: !ref <b>\nb: !ref <c>\nc: 3\n")
 
 
 def test_idx2data_roundtrip(tmp_path):
