@@ -1,0 +1,237 @@
+"""Multi-head attention (absolute and relative-position variants).
+
+TPU-native rebuild of reference ``module/transformer/attention.py`` and
+``module/conformer/attention.py``. Differences from the reference by design:
+
+- Functional flax modules; dropout keyed by explicit PRNG.
+- Autoregressive decoding uses a mutable ``cache`` collection (KV cache with a
+  static-capacity ring buffer) instead of recomputing the full prefix every
+  step (the reference has no KV cache — ``infer_func/beam_search.py:299-306``
+  recomputes O(L^2) per step).
+- Attention score computation runs on the MXU in the module ``dtype``
+  (bf16-friendly), softmax in fp32.
+
+Parity notes (attention.py:16-133):
+- DEFAULT SCALING IS NON-STANDARD: scores are scaled by 1/sqrt(d_model)
+  unless ``scale_dp_by_head=True`` (then 1/sqrt(head_size)). Preserved.
+- The softmax matrix (before dropout) is returned for visualization and
+  attention-guidance losses.
+- mask: boolean, True = attendable; shapes (B, 1, Tk) or (B, Tq, Tk),
+  broadcast over heads.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+class MultiHeadedAttention(nn.Module):
+    """Standard MHA with the reference's scaling semantics.
+
+    Call as ``att(q, k, v, mask)``; returns ``(output, attmat)`` where
+    ``attmat`` is the post-softmax attention (B, H, Tq, Tk).
+    """
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.1
+    scale_dp_by_head: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def head_size(self) -> int:
+        return self.d_model // self.num_heads
+
+    def _split(self, x: Array) -> Array:
+        B, T = x.shape[0], x.shape[1]
+        return x.reshape(B, T, self.num_heads, self.head_size).transpose(0, 2, 1, 3)
+
+    @nn.compact
+    def __call__(
+        self,
+        q: Array,
+        k: Array,
+        v: Array,
+        mask: Optional[Array] = None,
+        *,
+        train: bool = False,
+        decode: bool = False,
+        decode_index: Optional[Array] = None,
+        cached_kv: Optional[Tuple[Array, Array]] = None,
+        cross_cache: Optional[str] = None,
+        cache_capacity: Optional[int] = None,
+        prime: bool = False,
+        return_attmat: bool = True,
+    ):
+        """q (B, Tq, D); k/v (B, Tk, D); mask bool (B, 1|Tq, Tk).
+
+        decode: self-attention single-step mode — q/k/v have Tq = 1 and new
+            K/V rows are written into the 'cache' collection at
+            ``decode_index`` (defaults to internally-tracked index).
+        cached_kv: cross-attention fast path — already-projected, head-split
+            (K, V) of shape (B, H, Tk, Dh); skips the K/V projections.
+        cross_cache: 'write' projects K/V and stores them in the cache
+            collection (cache-priming pass over the encoder output);
+            'read' ignores k/v and reuses the stored projections (every
+            decode step). Avoids re-projecting encoder K/V per step.
+        cache_capacity: static KV-buffer length, used when allocating the
+            cache variables (cache-priming pass with ``prime=True``).
+        prime: allocate/initialize cache variables without advancing them.
+        """
+        assert self.d_model % self.num_heads == 0
+        dense = lambda name: nn.DenseGeneral(
+            features=self.d_model, dtype=self.dtype, name=name)
+
+        qh = self._split(dense("q_layer")(q))
+        if cross_cache == "read":
+            kh = self.get_variable("cache", "cached_cross_key")
+            vh = self.get_variable("cache", "cached_cross_value")
+        elif cached_kv is not None:
+            kh, vh = cached_kv
+        else:
+            kh = self._split(dense("k_layer")(k))
+            vh = self._split(dense("v_layer")(v))
+            if cross_cache == "write":
+                self.put_variable("cache", "cached_cross_key", kh)
+                self.put_variable("cache", "cached_cross_value", vh)
+
+        if decode:
+            B = qh.shape[0]
+            cap = int(cache_capacity) if cache_capacity else 0
+            cap_k = self.variable(
+                "cache", "cached_key",
+                jnp.zeros, (B, self.num_heads, cap, self.head_size), self.dtype)
+            cap_v = self.variable(
+                "cache", "cached_value",
+                jnp.zeros, (B, self.num_heads, cap, self.head_size), self.dtype)
+            idx_var = self.variable(
+                "cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
+            if cap_k.value.shape[2] == 0:
+                raise ValueError(
+                    "decode=True requires an initialized cache; run a priming "
+                    "pass with prime=True and cache_capacity set first")
+            index = idx_var.value if decode_index is None else decode_index
+            if not prime:
+                # write this step's K/V row(s) into the static-capacity buffer
+                kh = jax.lax.dynamic_update_slice(
+                    cap_k.value, kh.astype(self.dtype), (0, 0, index, 0))
+                vh = jax.lax.dynamic_update_slice(
+                    cap_v.value, vh.astype(self.dtype), (0, 0, index, 0))
+                cap_k.value, cap_v.value = kh, vh
+                idx_var.value = index + q.shape[1]
+            else:
+                kh, vh = cap_k.value, cap_v.value
+            # only positions <= index are attendable
+            Tk = kh.shape[2]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, Tk), 1)
+            step_mask = pos <= index  # (1, Tk)
+            mask = step_mask[:, None] if mask is None else (
+                mask & step_mask[:, None])
+
+        scale = (1.0 / math.sqrt(self.head_size) if self.scale_dp_by_head
+                 else 1.0 / math.sqrt(self.d_model))
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh,
+            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            scores = jnp.where(mask[:, None], scores, -jnp.inf)
+        attmat = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        att = attmat.astype(self.dtype)
+        if self.dropout > 0.0:
+            att = nn.Dropout(self.dropout, deterministic=not train)(att)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", att, vh,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        B, H, Tq, Dh = ctx.shape
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, H * Dh)
+        out = dense("output_layer")(ctx)
+        return out, (attmat if return_attmat else None)
+
+
+def rel_shift(matrix_bd: Array) -> Array:
+    """Transformer-XL relative shift (conformer/attention.py:26-46).
+
+    matrix_bd: (B, H, T, 2T-1) scores against relative positions
+    [T-1 .. -(T-1)]; returns (B, H, T, T) where out[:, :, i, j] =
+    matrix_bd[:, :, i, j - i + T - 1].
+    """
+    B, H, T, L = matrix_bd.shape  # L == 2T - 1
+    zero_pad = jnp.zeros((B, H, T, 1), matrix_bd.dtype)
+    padded = jnp.concatenate([zero_pad, matrix_bd], axis=-1)  # (B,H,T,2T)
+    padded = padded.reshape(B, H, L + 1, T)
+    shifted = padded[:, :, 1:].reshape(B, H, T, L)
+    return shifted[:, :, :, : L // 2 + 1]
+
+
+class RelPosMultiHeadedAttention(nn.Module):
+    """Relative-position MHA (Transformer-XL style, conformer/attention.py:7).
+
+    Takes ``posenc`` of shape (1, 2T-1, D) covering relative positions
+    [T-1 .. -(T-1)]; adds learned pos_bias_u/v to queries.
+    Scaling follows the same non-standard default as MultiHeadedAttention.
+    """
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.1
+    scale_dp_by_head: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def head_size(self) -> int:
+        return self.d_model // self.num_heads
+
+    @nn.compact
+    def __call__(self, q: Array, k: Array, v: Array,
+                 mask: Optional[Array], posenc: Array, *,
+                 train: bool = False, return_attmat: bool = True):
+        dense = lambda name: nn.DenseGeneral(
+            features=self.d_model, dtype=self.dtype, name=name)
+        split = lambda x: x.reshape(
+            x.shape[0], x.shape[1], self.num_heads, self.head_size
+        ).transpose(0, 2, 1, 3)
+
+        qh = split(dense("q_layer")(q))
+        kh = split(dense("k_layer")(k))
+        vh = split(dense("v_layer")(v))
+
+        pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(),
+            (self.num_heads, self.head_size))
+        pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(),
+            (self.num_heads, self.head_size))
+        p = nn.DenseGeneral(features=self.d_model, use_bias=False,
+                            dtype=self.dtype, name="pos_layer")(posenc)
+        ph = p.reshape(p.shape[0], p.shape[1], self.num_heads,
+                       self.head_size).transpose(0, 2, 1, 3)  # (1,H,2T-1,Dh)
+
+        q_u = qh + pos_bias_u[None, :, None, :].astype(qh.dtype)
+        q_v = qh + pos_bias_v[None, :, None, :].astype(qh.dtype)
+        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, kh,
+                               preferred_element_type=jnp.float32)
+        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, ph,
+                               preferred_element_type=jnp.float32)
+        matrix_bd = rel_shift(matrix_bd)
+
+        scale = (1.0 / math.sqrt(self.head_size) if self.scale_dp_by_head
+                 else 1.0 / math.sqrt(self.d_model))
+        scores = (matrix_ac + matrix_bd) * scale
+        if mask is not None:
+            scores = jnp.where(mask[:, None], scores, -jnp.inf)
+        attmat = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        att = attmat.astype(self.dtype)
+        if self.dropout > 0.0:
+            att = nn.Dropout(self.dropout, deterministic=not train)(att)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", att, vh,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        B, H, Tq, Dh = ctx.shape
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, H * Dh)
+        out = dense("output_layer")(ctx)
+        return out, (attmat if return_attmat else None)

@@ -1,0 +1,180 @@
+"""Conformer encoder.
+
+Rebuild of reference ``module/conformer/encoder.py`` (macaron
+FFN-1/2 + rel-pos MHA + convolution module + FFN-1/2, each residual with its
+own LayerNorm, pre/post-LN selectable) and ``module/conformer/pos_enc.py``.
+
+Parity notes:
+- Convolution module (encoder.py:14-65): pointwise conv -> GLU -> depthwise
+  'same' conv -> BatchNorm -> swish -> pointwise conv. BatchNorm statistics
+  include padded frames, exactly like the reference's BatchNorm1d — masked
+  statistics would change numerics.
+- Macaron FFN halves: 0.5 * dropout(ffn(x)) + x (encoder.py:141-142).
+- The rel-pos MHA uses the shared non-standard 1/sqrt(d_model) scaling.
+
+TPU notes: BatchNorm running stats live in the 'batch_stats' collection and
+are synchronized across the data mesh via ``axis_name`` when training under
+shard_map/pjit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speechain_tpu.nn.attention import RelPosMultiHeadedAttention
+from speechain_tpu.nn.feed_forward import PositionwiseFeedForward
+from speechain_tpu.nn.posenc import RelPositionalEncoding
+
+Array = jnp.ndarray
+
+
+class ConvolutionModule(nn.Module):
+    channels: int
+    depthwise_kernel_size: int = 31
+    dtype: jnp.dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feat: Array, *, train: bool = False) -> Array:
+        # (B, T, C); channels-last throughout (flax conv convention)
+        x = nn.Conv(2 * self.channels, kernel_size=(1,), padding="VALID",
+                    dtype=self.dtype, name="pointwise_conv1")(feat)
+        x = jax.nn.glu(x, axis=-1)
+        x = nn.Conv(self.channels, kernel_size=(self.depthwise_kernel_size,),
+                    padding="SAME", feature_group_count=self.channels,
+                    dtype=self.dtype, name="depthwise_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         axis_name=self.bn_axis_name, name="batch_norm")(x)
+        x = jax.nn.silu(x)
+        x = nn.Conv(self.channels, kernel_size=(1,), padding="VALID",
+                    dtype=self.dtype, name="pointwise_conv2")(x)
+        return x
+
+
+class ConformerEncoderLayer(nn.Module):
+    d_model: int = 512
+    num_heads: int = 8
+    att_dropout: float = 0.1
+    depthwise_kernel_size: int = 31
+    fdfwd_dim: int = 2048
+    fdfwd_type: str = "linear"
+    fdfwd_activation: str = "ReLU"
+    fdfwd_args: Dict[str, Any] = None
+    fdfwd_dropout: float = 0.1
+    res_dropout: float = 0.1
+    layernorm_first: bool = True
+    scale_dp_by_head: bool = False
+    dtype: jnp.dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, src: Array, mask: Optional[Array], posenc: Array, *,
+                 train: bool = False, return_attmat: bool = True):
+        drop = nn.Dropout(self.res_dropout, deterministic=not train)
+        ffn = lambda name: PositionwiseFeedForward(
+            d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
+            fdfwd_type=self.fdfwd_type, fdfwd_activation=self.fdfwd_activation,
+            fdfwd_args=self.fdfwd_args, dropout=self.fdfwd_dropout,
+            dtype=self.dtype, name=name)
+        ln_front = nn.LayerNorm(epsilon=1e-6, name="front_fdfwd_layernorm")
+        ln_mha = nn.LayerNorm(epsilon=1e-6, name="mha_layernorm")
+        ln_conv = nn.LayerNorm(epsilon=1e-6, name="conv_layernorm")
+        ln_rear = nn.LayerNorm(epsilon=1e-6, name="rear_fdfwd_layernorm")
+
+        # front macaron FFN half
+        x = ln_front(src) if self.layernorm_first else src
+        x = 0.5 * drop(ffn("front_feed_forward")(x, train=train)) + src
+        if not self.layernorm_first:
+            x = ln_front(x)
+
+        # rel-pos MHA
+        y = ln_mha(x) if self.layernorm_first else x
+        mha_hidden, attmat = RelPosMultiHeadedAttention(
+            d_model=self.d_model, num_heads=self.num_heads,
+            dropout=self.att_dropout, scale_dp_by_head=self.scale_dp_by_head,
+            dtype=self.dtype, name="relpos_mha",
+        )(y, y, y, mask, posenc, train=train, return_attmat=return_attmat)
+        y = drop(mha_hidden) + x
+        if not self.layernorm_first:
+            y = ln_mha(y)
+
+        # convolution module
+        z = ln_conv(y) if self.layernorm_first else y
+        z = drop(ConvolutionModule(
+            channels=self.d_model,
+            depthwise_kernel_size=self.depthwise_kernel_size,
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+            name="conv_module")(z, train=train)) + y
+        if not self.layernorm_first:
+            z = ln_conv(z)
+
+        # rear macaron FFN half
+        w = ln_rear(z) if self.layernorm_first else z
+        w = 0.5 * drop(ffn("rear_feed_forward")(w, train=train)) + z
+        if not self.layernorm_first:
+            w = ln_rear(w)
+        return w, attmat
+
+
+class ConformerEncoder(nn.Module):
+    """Rel-posenc + N conformer layers (+ final LN in pre-LN mode).
+
+    Returns (output, mask, attmat_list, hidden_list) mirroring
+    TransformerEncoder (conformer/encoder.py:213-320).
+    """
+
+    d_model: int = 512
+    num_heads: int = 8
+    num_layers: int = 16
+    att_dropout: float = 0.1
+    posenc_maxlen: int = 5000
+    posenc_dropout: float = 0.1
+    depthwise_kernel_size: int = 31
+    fdfwd_dim: int = 2048
+    fdfwd_type: str = "linear"
+    fdfwd_activation: str = "SiLU"
+    fdfwd_args: Dict[str, Any] = None
+    fdfwd_dropout: float = 0.1
+    res_dropout: float = 0.1
+    layernorm_first: bool = True
+    scale_dp_by_head: bool = False
+    dtype: jnp.dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, src: Array, mask: Optional[Array], *,
+                 train: bool = False, return_attmat: bool = False,
+                 return_hidden: bool = False):
+        src, posenc = RelPositionalEncoding(
+            d_model=self.d_model, dropout=self.posenc_dropout,
+            max_len=self.posenc_maxlen, name="posenc",
+        )(src, train=train)
+
+        attmats, hiddens = [], []
+        for i in range(self.num_layers):
+            src, attmat = ConformerEncoderLayer(
+                d_model=self.d_model, num_heads=self.num_heads,
+                att_dropout=self.att_dropout,
+                depthwise_kernel_size=self.depthwise_kernel_size,
+                fdfwd_dim=self.fdfwd_dim, fdfwd_type=self.fdfwd_type,
+                fdfwd_activation=self.fdfwd_activation,
+                fdfwd_args=self.fdfwd_args,
+                fdfwd_dropout=self.fdfwd_dropout,
+                res_dropout=self.res_dropout,
+                layernorm_first=self.layernorm_first,
+                scale_dp_by_head=self.scale_dp_by_head, dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name, name=f"layer_{i}",
+            )(src, mask, posenc, train=train, return_attmat=return_attmat)
+            if return_attmat:
+                attmats.append(attmat)
+            if return_hidden:
+                hiddens.append(src)
+
+        if self.layernorm_first:
+            src = nn.LayerNorm(epsilon=1e-6, name="layernorm")(src)
+        return src, mask, attmats, hiddens

@@ -1,0 +1,300 @@
+"""Transformer encoder and decoder stacks.
+
+Rebuild of reference ``module/transformer/encoder.py`` and ``decoder.py``.
+Semantics preserved:
+
+- pre-LN (``layernorm_first=True``, default) vs post-LN residual pattern
+  (encoder.py:66-72); a final LayerNorm is applied in pre-LN mode.
+- residual dropout applied to sublayer outputs before adding the input.
+- per-layer attention matrices and hidden states are returned (for
+  visualization and attention-guidance losses, encoder.py:338-344).
+- ``uni_direction=True`` ANDs a causal mask into the encoder self-attention
+  so the same stack doubles as the LM backbone (encoder.py:330-336).
+
+TPU-native deltas: layers scanned-over? No — per-layer attmat/hidden returns
+and small layer counts (<=16) make a Python loop the right choice (XLA
+unrolls and fuses); decoding uses KV caches (see attention.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from speechain_tpu.nn.attention import MultiHeadedAttention
+from speechain_tpu.nn.feed_forward import PositionwiseFeedForward
+from speechain_tpu.nn.posenc import PositionalEncoding
+from speechain_tpu.utils.masks import subsequent_mask
+
+Array = jnp.ndarray
+
+
+class TransformerEncoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    scale_dp_by_head: bool = False
+    att_dropout: float = 0.1
+    fdfwd_dim: int = 2048
+    fdfwd_type: str = "linear"
+    fdfwd_activation: str = "ReLU"
+    fdfwd_args: Dict[str, Any] = None
+    fdfwd_dropout: float = 0.1
+    res_dropout: float = 0.1
+    layernorm_first: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src: Array, mask: Optional[Array], *,
+                 train: bool = False, return_attmat: bool = True):
+        ln_att = nn.LayerNorm(epsilon=1e-6, name="att_layernorm")
+        ln_ff = nn.LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
+        drop = nn.Dropout(self.res_dropout, deterministic=not train)
+
+        x = ln_att(src) if self.layernorm_first else src
+        att_hidden, attmat = MultiHeadedAttention(
+            d_model=self.d_model, num_heads=self.num_heads,
+            dropout=self.att_dropout, scale_dp_by_head=self.scale_dp_by_head,
+            dtype=self.dtype, name="multihead_att",
+        )(x, x, x, mask, train=train, return_attmat=return_attmat)
+        att_out = drop(att_hidden) + src
+        if not self.layernorm_first:
+            att_out = ln_att(att_out)
+
+        y = ln_ff(att_out) if self.layernorm_first else att_out
+        ff_hidden = PositionwiseFeedForward(
+            d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
+            fdfwd_type=self.fdfwd_type, fdfwd_activation=self.fdfwd_activation,
+            fdfwd_args=self.fdfwd_args, dropout=self.fdfwd_dropout,
+            dtype=self.dtype, name="feed_forward",
+        )(y, train=train)
+        out = drop(ff_hidden) + att_out
+        if not self.layernorm_first:
+            out = ln_ff(out)
+        return out, attmat
+
+
+class TransformerEncoder(nn.Module):
+    """Posenc + N encoder layers (+ final LN in pre-LN mode).
+
+    Returns (output, mask, attmat_list, hidden_list) like encoder.py:310-349.
+    """
+
+    d_model: int = 512
+    num_heads: int = 4
+    num_layers: int = 8
+    scale_dp_by_head: bool = False
+    att_dropout: float = 0.1
+    posenc_type: str = "mix"
+    posenc_maxlen: int = 5000
+    posenc_dropout: float = 0.1
+    posenc_scale: bool = False
+    posenc_init_alpha: float = 1.0
+    emb_layernorm: bool = False
+    emb_scale: bool = True
+    fdfwd_dim: int = 2048
+    fdfwd_type: str = "linear"
+    fdfwd_activation: str = "ReLU"
+    fdfwd_args: Dict[str, Any] = None
+    fdfwd_dropout: float = 0.1
+    res_dropout: float = 0.1
+    uni_direction: bool = False
+    layernorm_first: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src: Array, mask: Optional[Array], *,
+                 train: bool = False, return_attmat: bool = False,
+                 return_hidden: bool = False):
+        src = PositionalEncoding(
+            d_model=self.d_model, posenc_type=self.posenc_type,
+            emb_layernorm=self.emb_layernorm, emb_scale=self.emb_scale,
+            posenc_scale=self.posenc_scale, init_alpha=self.posenc_init_alpha,
+            dropout=self.posenc_dropout, max_len=self.posenc_maxlen,
+            name="posenc",
+        )(src, train=train)
+
+        if self.uni_direction:
+            L = src.shape[1]
+            causal = subsequent_mask(L)  # (1, L, L)
+            mask = causal if mask is None else (mask & causal)
+
+        attmats, hiddens = [], []
+        for i in range(self.num_layers):
+            src, attmat = TransformerEncoderLayer(
+                d_model=self.d_model, num_heads=self.num_heads,
+                scale_dp_by_head=self.scale_dp_by_head,
+                att_dropout=self.att_dropout, fdfwd_dim=self.fdfwd_dim,
+                fdfwd_type=self.fdfwd_type,
+                fdfwd_activation=self.fdfwd_activation,
+                fdfwd_args=self.fdfwd_args, fdfwd_dropout=self.fdfwd_dropout,
+                res_dropout=self.res_dropout,
+                layernorm_first=self.layernorm_first, dtype=self.dtype,
+                name=f"layer_{i}",
+            )(src, mask, train=train, return_attmat=return_attmat)
+            if return_attmat:
+                attmats.append(attmat)
+            if return_hidden:
+                hiddens.append(src)
+
+        if self.layernorm_first:
+            src = nn.LayerNorm(epsilon=1e-6, name="layernorm")(src)
+        return src, mask, attmats, hiddens
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Self-att (causal) + cross-att + FFN (decoder.py:16-176)."""
+
+    d_model: int
+    num_heads: int
+    scale_dp_by_head: bool = False
+    att_dropout: float = 0.1
+    fdfwd_dim: int = 2048
+    fdfwd_type: str = "linear"
+    fdfwd_activation: str = "ReLU"
+    fdfwd_args: Dict[str, Any] = None
+    fdfwd_dropout: float = 0.1
+    res_dropout: float = 0.1
+    layernorm_first: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt: Array, enc_feat: Optional[Array],
+                 tgt_mask: Optional[Array], src_mask: Optional[Array], *,
+                 train: bool = False, decode: bool = False,
+                 cache_capacity: Optional[int] = None, prime: bool = False,
+                 return_attmat: bool = True):
+        ln_self = nn.LayerNorm(epsilon=1e-6, name="self_att_layernorm")
+        ln_cross = nn.LayerNorm(epsilon=1e-6, name="cross_att_layernorm")
+        ln_ff = nn.LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
+        drop = nn.Dropout(self.res_dropout, deterministic=not train)
+
+        x = ln_self(tgt) if self.layernorm_first else tgt
+        self_hidden, self_attmat = MultiHeadedAttention(
+            d_model=self.d_model, num_heads=self.num_heads,
+            dropout=self.att_dropout, scale_dp_by_head=self.scale_dp_by_head,
+            dtype=self.dtype, name="self_att",
+        )(x, x, x, tgt_mask, train=train, decode=decode,
+          cache_capacity=cache_capacity, prime=prime,
+          return_attmat=return_attmat)
+        self_out = drop(self_hidden) + tgt
+        if not self.layernorm_first:
+            self_out = ln_self(self_out)
+
+        y = ln_cross(self_out) if self.layernorm_first else self_out
+        cross_cache = None
+        if decode:
+            cross_cache = "write" if prime else "read"
+        cross_hidden, cross_attmat = MultiHeadedAttention(
+            d_model=self.d_model, num_heads=self.num_heads,
+            dropout=self.att_dropout, scale_dp_by_head=self.scale_dp_by_head,
+            dtype=self.dtype, name="cross_att",
+        )(y, enc_feat, enc_feat, src_mask, train=train,
+          cross_cache=cross_cache, return_attmat=return_attmat)
+        cross_out = drop(cross_hidden) + self_out
+        if not self.layernorm_first:
+            cross_out = ln_cross(cross_out)
+
+        z = ln_ff(cross_out) if self.layernorm_first else cross_out
+        ff_hidden = PositionwiseFeedForward(
+            d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
+            fdfwd_type=self.fdfwd_type, fdfwd_activation=self.fdfwd_activation,
+            fdfwd_args=self.fdfwd_args, dropout=self.fdfwd_dropout,
+            dtype=self.dtype, name="feed_forward",
+        )(z, train=train)
+        out = drop(ff_hidden) + cross_out
+        if not self.layernorm_first:
+            out = ln_ff(out)
+        return out, self_attmat, cross_attmat
+
+
+class TransformerDecoder(nn.Module):
+    """Posenc + N decoder layers (+ final LN in pre-LN mode).
+
+    Training: ``__call__(tgt_emb, enc_feat, tgt_mask, src_mask)`` with
+    tgt_mask (B, 1, L) length mask — the causal mask is ANDed in here
+    (decoder.py:258-265). Returns (out, self_attmats, cross_attmats, hiddens).
+
+    Decoding: pass ``decode=True`` with a single-step tgt_emb and the 'cache'
+    collection mutable; positions are tracked in the cache. Prime the cache
+    once with ``prime=True, cache_capacity=max_len`` over the encoder output.
+    """
+
+    d_model: int = 512
+    num_heads: int = 4
+    num_layers: int = 8
+    scale_dp_by_head: bool = False
+    att_dropout: float = 0.1
+    posenc_type: str = "mix"
+    posenc_maxlen: int = 5000
+    posenc_dropout: float = 0.1
+    posenc_scale: bool = False
+    posenc_init_alpha: float = 1.0
+    emb_layernorm: bool = False
+    emb_scale: bool = True
+    fdfwd_dim: int = 2048
+    fdfwd_type: str = "linear"
+    fdfwd_activation: str = "ReLU"
+    fdfwd_args: Dict[str, Any] = None
+    fdfwd_dropout: float = 0.1
+    res_dropout: float = 0.1
+    layernorm_first: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt: Array, enc_feat: Optional[Array],
+                 tgt_mask: Optional[Array], src_mask: Optional[Array], *,
+                 train: bool = False, decode: bool = False,
+                 cache_capacity: Optional[int] = None, prime: bool = False,
+                 decode_position: Optional[Array] = None,
+                 return_attmat: bool = False, return_hidden: bool = False):
+        posenc = PositionalEncoding(
+            d_model=self.d_model, posenc_type=self.posenc_type,
+            emb_layernorm=self.emb_layernorm, emb_scale=self.emb_scale,
+            posenc_scale=self.posenc_scale, init_alpha=self.posenc_init_alpha,
+            dropout=self.posenc_dropout, max_len=self.posenc_maxlen,
+            name="posenc",
+        )
+        if decode:
+            pos_var = self.variable("cache", "position",
+                                    lambda: jnp.zeros((), jnp.int32))
+            if prime:
+                tgt = posenc(tgt, train=train)
+            else:
+                pos_idx = (pos_var.value if decode_position is None
+                           else decode_position)
+                tgt = posenc(tgt, train=train, offset=pos_idx)
+                if decode_position is None:
+                    pos_var.value = pos_var.value + tgt.shape[1]
+        else:
+            tgt = posenc(tgt, train=train)
+
+        if not decode and tgt_mask is not None:
+            L = tgt.shape[1]
+            tgt_mask = tgt_mask & subsequent_mask(L)
+
+        self_attmats, cross_attmats, hiddens = [], [], []
+        for i in range(self.num_layers):
+            tgt, sa, ca = TransformerDecoderLayer(
+                d_model=self.d_model, num_heads=self.num_heads,
+                scale_dp_by_head=self.scale_dp_by_head,
+                att_dropout=self.att_dropout, fdfwd_dim=self.fdfwd_dim,
+                fdfwd_type=self.fdfwd_type,
+                fdfwd_activation=self.fdfwd_activation,
+                fdfwd_args=self.fdfwd_args, fdfwd_dropout=self.fdfwd_dropout,
+                res_dropout=self.res_dropout,
+                layernorm_first=self.layernorm_first, dtype=self.dtype,
+                name=f"layer_{i}",
+            )(tgt, enc_feat, tgt_mask, src_mask, train=train, decode=decode,
+              cache_capacity=cache_capacity, prime=prime,
+              return_attmat=return_attmat)
+            if return_attmat:
+                self_attmats.append(sa)
+                cross_attmats.append(ca)
+            if return_hidden:
+                hiddens.append(tgt)
+
+        if self.layernorm_first:
+            tgt = nn.LayerNorm(epsilon=1e-6, name="layernorm")(tgt)
+        return tgt, self_attmats, cross_attmats, hiddens
