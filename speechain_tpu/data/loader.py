@@ -1,0 +1,178 @@
+"""Host loading pipeline: batch assembly with static-shape buckets, text
+tokenization, background prefetch, multi-stream zipping.
+
+TPU-first replacement for the reference's torch DataLoader path
+(iterator/abs.py:428-439 + model/abs.py:497-546 batch_preprocess_fn): item
+reads run in a thread pool, collate pads time/length/batch axes up to bucket
+grids so each train step reuses a cached XLA executable, tokenization happens
+here on host (the reference tokenizes text strings inside Model.forward).
+
+Multi-stream batches (MultiDataLoader semantics, runner.py:918-975): zip the
+named loaders and stop at the shortest — per-domain sub-batch dicts feed one
+jitted step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator as PyIterator, List, Optional
+
+import numpy as np
+
+from speechain_tpu.data.iterator import Iterator, bucket_len
+
+
+def pad_to(arr: np.ndarray, length: int, axis: int = 0,
+           value: float = 0.0) -> np.ndarray:
+    if arr.shape[axis] >= length:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, length - arr.shape[axis])
+    return np.pad(arr, pad, constant_values=value)
+
+
+def collate_speech_text(samples: List[Dict[str, Any]],
+                        tokenizer=None,
+                        time_bucket: int = 1600,
+                        token_bucket: int = 16,
+                        batch_bucket: int = 8,
+                        text_no_sos: bool = False,
+                        text_no_eos: bool = False) -> Dict[str, np.ndarray]:
+    """Pad a list of samples into one static-shaped batch dict.
+
+    feat time axis rounds up to a multiple of ``time_bucket`` (raw waveforms:
+    use ~0.1 s = 1600 samples; mel feats: ~64 frames), text length to
+    ``token_bucket``, batch size to ``batch_bucket``. Padding rows carry
+    feat_len = text_len = 0 and are ignored by the criteria.
+    """
+    out: Dict[str, Any] = {}
+    B = len(samples)
+    B_pad = bucket_len(B, batch_bucket, batch_bucket)
+
+    if "feat" in samples[0]:
+        feats = [s["feat"] for s in samples]
+        T = bucket_len(max(f.shape[0] for f in feats), time_bucket, time_bucket)
+        D = feats[0].shape[-1]
+        feat = np.zeros((B_pad, T, D), np.float32)
+        feat_len = np.zeros((B_pad,), np.int32)
+        for i, f in enumerate(feats):
+            feat[i, :f.shape[0]] = f
+            feat_len[i] = f.shape[0]
+        out["feat"], out["feat_len"] = feat, feat_len
+
+    if "text" in samples[0]:
+        assert tokenizer is not None, "text batches need a tokenizer"
+        ids = [tokenizer.text2tensor(s["text"], no_sos=text_no_sos,
+                                     no_eos=text_no_eos) for s in samples]
+        L = bucket_len(max(len(t) for t in ids), token_bucket, token_bucket)
+        text = np.full((B_pad, L), tokenizer.ignore_idx, np.int32)
+        text_len = np.zeros((B_pad,), np.int32)
+        for i, t in enumerate(ids):
+            text[i, :len(t)] = t
+            text_len[i] = len(t)
+        out["text"], out["text_len"] = text, text_len
+        out["raw_text"] = [s["text"] for s in samples]
+
+    if "spk_feat" in samples[0]:
+        sf = np.stack([s["spk_feat"].reshape(-1) for s in samples])
+        out["spk_feat"] = pad_to(sf, B_pad, axis=0)
+    if "spk_ids" in samples[0]:
+        out["raw_spk_ids"] = [s["spk_ids"] for s in samples]
+    if "pitch" in samples[0]:
+        ps = [s["pitch"].reshape(-1) for s in samples]
+        T = out["feat"].shape[1] if "feat" in out else bucket_len(
+            max(len(p) for p in ps), time_bucket, time_bucket)
+        pitch = np.zeros((B_pad, T), np.float32)
+        for i, p in enumerate(ps):
+            pitch[i, :min(len(p), T)] = p[:T]
+        out["pitch"] = pitch
+    if "duration" in samples[0]:
+        ds = [s["duration"] for s in samples]
+        L = out["text"].shape[1] if "text" in out else bucket_len(
+            max(len(d) for d in ds), token_bucket, token_bucket)
+        dur = np.zeros((B_pad, L), np.float32)
+        dur_len = np.zeros((B_pad,), np.int32)
+        for i, d in enumerate(ds):
+            dur[i, :min(len(d), L)] = d[:L]
+            dur_len[i] = min(len(d), L)
+        out["duration"], out["duration_len"] = dur, dur_len
+
+    out["indices"] = [s["index"] for s in samples]
+    out["n_real"] = B
+    return out
+
+
+class EpochLoader:
+    """Iterate one epoch of batches: fetch items in a thread pool, collate,
+    and prefetch ahead of the consumer."""
+
+    def __init__(self, iterator: Iterator, collate_fn: Callable,
+                 num_workers: int = 4, prefetch: int = 2):
+        self.iterator = iterator
+        self.collate_fn = collate_fn
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+
+    def _load_batch(self, indices: List[str], pool) -> Dict[str, Any]:
+        if pool is not None:
+            samples = list(pool.map(self.iterator.dataset.__getitem__, indices))
+        else:
+            samples = [self.iterator.dataset[i] for i in indices]
+        return self.collate_fn(samples)
+
+    def epoch(self, epoch: int = 0, start_step: int = 0) -> PyIterator[Dict]:
+        batches = self.iterator.get_batch_indices(epoch)[start_step:]
+        if hasattr(self.iterator.dataset, "set_epoch_seed"):
+            self.iterator.dataset.set_epoch_seed(self.iterator.seed + epoch)
+        pool = (ThreadPoolExecutor(self.num_workers)
+                if self.num_workers > 0 else None)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for idxs in batches:
+                    q.put(self._load_batch(idxs, pool))
+            finally:
+                q.put(stop)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
+
+    def __len__(self):
+        return len(self.iterator)
+
+
+class MultiLoader:
+    """Named multi-stream zipping (the reference's multi-dataloader batches,
+    runner.py:918-975): yields {name: batch_dict}, length = min over
+    streams."""
+
+    def __init__(self, loaders: Dict[str, EpochLoader]):
+        self.loaders = loaders
+
+    def epoch(self, epoch: int = 0, start_step: int = 0):
+        iters = {name: ld.epoch(epoch, start_step)
+                 for name, ld in self.loaders.items()}
+        while True:
+            batch = {}
+            for name, it in iters.items():
+                nxt = next(it, None)
+                if nxt is None:
+                    return
+                batch[name] = nxt
+            yield batch
+
+    def __len__(self):
+        return min(len(ld) for ld in self.loaders.values())

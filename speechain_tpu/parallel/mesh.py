@@ -1,0 +1,93 @@
+"""Mesh + sharding helpers.
+
+Axes convention (scaling-book style):
+- ``data``: data parallelism (batch axis). The reference's DDP maps here.
+- ``model``: tensor parallelism for the wide matmuls (Dense kernels sharded
+  on the feature axis); used by the multi-chip dry-run and large configs.
+
+Batches are sharded on ``data``; parameters are replicated over ``data`` and
+(optionally) sharded over ``model`` by the param-sharding rules.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), \
+        f"need {n_data * n_model} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(
+        n_data, n_model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place array leaves of a host batch onto the mesh, sharded on batch
+    dim 0 over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, NamedSharding(
+                mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
+        return x
+
+    return {k: put(v) if not isinstance(v, (list, str, int)) else v
+            for k, v in batch.items()}
+
+
+def param_sharding_rules(path: Tuple, leaf) -> P:
+    """Default tensor-parallel rules: shard the widest axis of big Dense /
+    Embed kernels over 'model'; everything else replicated.
+
+    Kept deliberately simple — XLA's SPMD partitioner propagates from these
+    seeds. Biases/LayerNorm scales stay replicated.
+    """
+    names = [str(p) for p in path]
+    if getattr(leaf, "ndim", 0) >= 2 and leaf.size >= 1 << 16:
+        if any("embed" in n or "kernel" in n for n in names):
+            spec = [None] * leaf.ndim
+            spec[-1] = "model"
+            return P(*spec)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply :func:`param_sharding_rules` over a param pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def place(path, leaf):
+        return jax.device_put(leaf, NamedSharding(
+            mesh, param_sharding_rules(path, leaf)))
+
+    leaves = [place(p, l) for p, l in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def train_step_under_mesh(step_fn: Callable, mesh: Mesh,
+                          donate_state: bool = True) -> Callable:
+    """Wrap a per-replica ``step_fn(state, batch, rng) -> (state, metrics)``
+    with shard_map over the mesh: batch split on 'data', state replicated,
+    collectives (psum/pmean with axis_name='data') resolved on ICI.
+    """
+    state_spec = P()        # replicated parameters/optimizer state
+    batch_spec = P("data")  # batch axis sharded
+
+    wrapped = jax.shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(state_spec, batch_spec, P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(wrapped, donate_argnums=(0,) if donate_state else ())

@@ -1,0 +1,208 @@
+"""Loss and metric criteria as pure functions.
+
+Rebuild of reference ``speechain/criterion/*`` (file:line cited per
+function). All functions are jit-friendly: static shapes, mask-based
+reductions, no host sync. Error-rate (CER/WER) is host-side and lives in
+``utils/metrics.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Array = jnp.ndarray
+
+
+def _len_mask(lengths: Array, max_len: int) -> Array:
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    return pos < lengths.astype(jnp.int32)[:, None]
+
+
+def _maybe_shift(logits: Array, text: Array, text_len: Array):
+    """Reference convention (cross_entropy.py:110-122): if logits cover one
+    step fewer than text, drop text's leading <sos> and decrement lengths."""
+    if logits.shape[1] == text.shape[1] - 1:
+        return text[:, 1:], text_len - 1
+    if logits.shape[1] != text.shape[1]:
+        raise ValueError(
+            f"logits length {logits.shape[1]} vs text length {text.shape[1]}")
+    return text, text_len
+
+
+def cross_entropy(logits: Array, text: Array, text_len: Array, *,
+                  length_normalized: bool = False,
+                  label_smoothing: float = 0.0,
+                  temperature: float = 1.0,
+                  token_weights: Optional[Array] = None) -> Array:
+    """CE with label smoothing / temperature / per-token reweighting
+    (cross_entropy.py:17-189). Per-sentence sum (optionally length
+    normalized), then mean over sentences.
+
+    Note the reference's label-smoothing law: loss_t = smooth_pos *
+    log_p[target] + smooth_neg * sum_v log_p[v] with smooth_neg =
+    eps / vocab_size (NOT eps/(V-1)) — preserved.
+    """
+    text, text_len = _maybe_shift(logits, text, text_len)
+    B, L, V = logits.shape
+    log_prob = jax.nn.log_softmax(
+        logits.astype(jnp.float32) / temperature, axis=-1)
+    lp_target = jnp.take_along_axis(
+        log_prob, text[..., None], axis=-1)[..., 0]                # (B, L)
+    if label_smoothing > 0.0:
+        smooth_pos = 1.0 - label_smoothing
+        smooth_neg = label_smoothing / V
+        tok = lp_target * smooth_pos + jnp.sum(log_prob, -1) * smooth_neg
+    else:
+        tok = lp_target
+    if token_weights is not None:
+        tok = tok * token_weights[text]
+    mask = _len_mask(text_len, L)
+    tok = jnp.where(mask, tok, 0.0)
+    sent = jnp.sum(tok, axis=-1)
+    if length_normalized:
+        sent = sent / (text_len.astype(jnp.float32) + 1e-10)
+    # mean over non-empty sentences: zero-length rows are batch-bucket
+    # padding and must not dilute the loss (reference batches are dense)
+    valid = (text_len > 0).astype(jnp.float32)
+    return -jnp.sum(sent * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def accuracy(logits: Array, text: Array, text_len: Array) -> Array:
+    """Token prediction accuracy (accuracy.py:13-57)."""
+    text, text_len = _maybe_shift(logits, text, text_len)
+    pred = jnp.argmax(logits, axis=-1) if logits.ndim == text.ndim + 1 else logits
+    mask = _len_mask(text_len, text.shape[1])
+    correct = jnp.sum(jnp.where(mask, pred == text, False))
+    return correct / jnp.maximum(jnp.sum(text_len), 1)
+
+
+def perplexity(logits: Array, text: Array, text_len: Array) -> Array:
+    """Mean per-sentence perplexity (perplexity.py:7-34): logits predict
+    text[:, 1:], normalized by (text_len - 1)."""
+    log_prob = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = text[:, 1:]
+    lp = jnp.take_along_axis(log_prob[:, :tgt.shape[1]], tgt[..., None],
+                             axis=-1)[..., 0]
+    mask = _len_mask(text_len - 1, tgt.shape[1])
+    lp = jnp.where(mask, lp, 0.0)
+    n = jnp.maximum((text_len - 1).astype(jnp.float32), 1.0)
+    valid = (text_len > 0).astype(jnp.float32)
+    ppl = jnp.exp(-jnp.sum(lp, -1) / n)
+    return jnp.sum(ppl * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def ctc_loss(ctc_logits: Array, logit_len: Array, text: Array,
+             text_len: Array, *, blank_id: int = 0) -> Array:
+    """CTC loss, blank=0 like the reference (criterion/ctc.py:6-68).
+
+    text here must NOT contain sos/eos; reference strips them before the
+    call (model/ar_asr.py:453-458 passes text[:, 1:-1]-style targets).
+    Mean over batch of per-sentence CTC negative log-likelihood.
+    """
+    B, T, V = ctc_logits.shape
+    logit_paddings = 1.0 - _len_mask(logit_len, T).astype(jnp.float32)
+    label_paddings = 1.0 - _len_mask(text_len, text.shape[1]).astype(jnp.float32)
+    per_seq = optax.ctc_loss(ctc_logits.astype(jnp.float32), logit_paddings,
+                             text, label_paddings, blank_id=blank_id)
+    valid = (text_len > 0).astype(jnp.float32)
+    return jnp.sum(per_seq * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def least_error(pred: Array, tgt: Array, tgt_len: Array, *,
+                loss_type: str = "L2", is_normalized: bool = True,
+                update_range=None) -> Array:
+    """L1/L2/L1+L2 feature regression loss (least_error.py:17-130)."""
+    if pred.ndim == 2:
+        pred = pred[..., None]
+    if tgt.ndim == 2:
+        tgt = tgt[..., None]
+    if update_range is not None:
+        D = pred.shape[-1]
+        ndim = int(D * update_range) if isinstance(update_range, float) \
+            else -int(update_range)
+        pred, tgt = pred[..., :ndim], tgt[..., :ndim]
+    diff = pred.astype(jnp.float32) - tgt.astype(jnp.float32)
+    if loss_type == "L1":
+        loss = jnp.abs(diff)
+    elif loss_type == "L2":
+        loss = diff ** 2
+    elif loss_type == "L1+L2":
+        loss = jnp.abs(diff) + diff ** 2
+    else:
+        raise ValueError(loss_type)
+    loss = jnp.mean(loss, axis=-1)                                  # (B, T)
+    mask = _len_mask(tgt_len, loss.shape[1])
+    loss = jnp.where(mask, loss, 0.0)
+    if is_normalized:
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1)
+    return jnp.mean(jnp.sum(loss, axis=-1))
+
+
+def bce_logits(pred: Array, tgt: Array, tgt_len: Array, *,
+               pos_weight: float = 5.0, is_normalized: bool = True) -> Array:
+    """Positive-weighted BCE-with-logits stop loss (bce_logits.py:17-90)."""
+    tgt = tgt.astype(jnp.float32)
+    p = pred.astype(jnp.float32)
+    # torch BCEWithLogitsLoss w/ pos_weight:
+    #   l = -[pw * y * log(sigmoid(x)) + (1-y) * log(1 - sigmoid(x))]
+    log_sig = jax.nn.log_sigmoid(p)
+    log_one_minus = jax.nn.log_sigmoid(-p)
+    loss = -(pos_weight * tgt * log_sig + (1.0 - tgt) * log_one_minus)
+    mask = _len_mask(tgt_len, loss.shape[1])
+    loss = jnp.where(mask, loss, 0.0)
+    if is_normalized:
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1)
+    return jnp.mean(jnp.sum(loss, axis=-1))
+
+
+def fbeta_score(pred: Array, tgt: Array, tgt_len: Array, *,
+                beta: float = 1.0) -> Array:
+    """F-beta of binary predictions over valid positions
+    (fbeta_score.py:13-52)."""
+    mask = _len_mask(tgt_len, tgt.shape[1])
+    pred_pos = (pred == 1) & mask
+    tgt_pos = (tgt == 1) & mask
+    tp = jnp.sum(pred_pos & tgt_pos).astype(jnp.float32)
+    fp = jnp.sum(pred_pos & ~tgt_pos & mask).astype(jnp.float32)
+    fn = jnp.sum(~pred_pos & tgt_pos & mask).astype(jnp.float32)
+    precision = tp / (tp + fp + 1e-10)
+    recall = tp / (tp + fn + 1e-10)
+    b2 = beta ** 2
+    return (1 + b2) * precision * recall / (b2 * precision + recall + 1e-10)
+
+
+def attention_guidance(att: Array, x_len: Array, y_len: Optional[Array] = None,
+                       *, sigma: float = 0.2) -> Array:
+    """Diagonal-prior attention guidance loss (att_guid.py:6-76).
+
+    att: (B, H, X, Y) attention matrices (layers*heads flattened into H).
+    weight[i, x, y] = 1 - exp(-(x/X_i - y/Y_i)^2 / (2 sigma^2)) inside the
+    valid (X_i, Y_i) rectangle; loss = mean of att*weight over valid cells.
+    """
+    if y_len is None:
+        y_len = x_len
+    B, H, X, Y = att.shape
+    coeff = -1.0 / (2.0 * sigma ** 2)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (1, X, Y), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (1, X, Y), 2)
+    xl = jnp.clip(x_len, max=X).astype(jnp.float32)[:, None, None]
+    yl = jnp.clip(y_len, max=Y).astype(jnp.float32)[:, None, None]
+    weight = 1.0 - jnp.exp(coeff * (gx / xl - gy / yl) ** 2)       # (B, X, Y)
+    valid = (gx < xl) & (gy < yl)
+    weighted = att.astype(jnp.float32) * weight[:, None]
+    weighted = jnp.where(valid[:, None], weighted, 0.0)
+    denom = jnp.maximum(jnp.sum(valid) * H, 1)
+    return jnp.sum(weighted) / denom
+
+
+def stop_accuracy(stop_pred: Array, stop_tgt: Array, tgt_len: Array) -> Array:
+    """Binary stop-flag accuracy over valid positions (ar_tts.py:528-534)."""
+    mask = _len_mask(tgt_len, stop_tgt.shape[1])
+    pred = (jax.nn.sigmoid(stop_pred.astype(jnp.float32)) > 0.5)
+    correct = jnp.sum(jnp.where(mask, pred == (stop_tgt > 0.5), False))
+    return correct / jnp.maximum(jnp.sum(mask), 1)

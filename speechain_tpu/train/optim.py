@@ -1,0 +1,141 @@
+"""Optimizer + LR-scheduler fusion (optax).
+
+Rebuild of reference ``speechain/optim_sche/*``:
+- Noam warmup/decay (optim_sche/noam.py): lr(step) = init_lr *
+  min(step^-0.5, step * warmup^-1.5), with init_lr = d_model^-0.5 if d_model
+  given else peak_lr * warmup^0.5 (so lr peaks at peak_lr after warmup).
+- per-epoch exponential decay (optim_sche/exp.py): lr = base * factor^(ep-1);
+  expressed per-step via steps_per_epoch.
+- the OptimScheduler features (optim_sche/abs.py:19-339): grad accumulation
+  -> ``optax.MultiSteps``; grad clipping -> ``clip_by_global_norm``;
+  finite-check skip -> ``optax.apply_if_finite``; ``ft_factor`` scales the
+  schedule; multi-optimizer / ``updated_modules`` partial updates ->
+  ``optax.multi_transform`` with path-prefix labeling.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import optax
+
+
+def noam_schedule(peak_lr: float = 2e-3, warmup_steps: int = 4000,
+                  d_model: Optional[int] = None,
+                  ft_factor: float = 1.0) -> optax.Schedule:
+    init_lr = (d_model ** -0.5 if d_model is not None
+               else peak_lr * warmup_steps ** 0.5)
+
+    def schedule(step):
+        s = jnp.maximum(step.astype(jnp.float32) if hasattr(step, "astype")
+                        else jnp.asarray(step, jnp.float32), 1.0)
+        return ft_factor * init_lr * jnp.minimum(
+            s ** -0.5, s * warmup_steps ** -1.5)
+
+    return schedule
+
+
+def exp_decay_schedule(base_lr: float, decay_factor: float = 0.999,
+                       steps_per_epoch: int = 1000,
+                       ft_factor: float = 1.0) -> optax.Schedule:
+    def schedule(step):
+        epoch = jnp.asarray(step, jnp.float32) // steps_per_epoch
+        return ft_factor * base_lr * decay_factor ** epoch
+
+    return schedule
+
+
+OPTIMIZERS = {
+    "Adam": lambda lr, conf: optax.adam(
+        lr, b1=conf.get("betas", (0.9, 0.999))[0],
+        b2=conf.get("betas", (0.9, 0.999))[1],
+        eps=conf.get("eps", 1e-8)),
+    "AdamW": lambda lr, conf: optax.adamw(
+        lr, b1=conf.get("betas", (0.9, 0.999))[0],
+        b2=conf.get("betas", (0.9, 0.999))[1],
+        eps=conf.get("eps", 1e-8),
+        weight_decay=conf.get("weight_decay", 1e-2)),
+    "SGD": lambda lr, conf: optax.sgd(
+        lr, momentum=conf.get("momentum", 0.0)),
+}
+
+
+def build_optimizer(sche_type: str = "noam", optim_type: str = "Adam",
+                    optim_conf: Optional[Dict[str, Any]] = None,
+                    warmup_steps: int = 4000, d_model: Optional[int] = None,
+                    decay_factor: float = 0.999, steps_per_epoch: int = 1000,
+                    accum_grad: int = 1, grad_clip: Optional[float] = 5.0,
+                    ft_factor: float = 1.0,
+                    updated_modules: Optional[Sequence[str]] = None
+                    ) -> optax.GradientTransformation:
+    """Build the full update chain for one optimizer group."""
+    optim_conf = dict(optim_conf or {})
+    peak_lr = float(optim_conf.pop("lr", 2e-3))
+    if sche_type in ("noam", "noam.Noamlr"):
+        schedule = noam_schedule(peak_lr, warmup_steps, d_model, ft_factor)
+    elif sche_type in ("exp", "exp.ExponentDecayLr"):
+        schedule = exp_decay_schedule(peak_lr, decay_factor, steps_per_epoch,
+                                      ft_factor)
+    elif sche_type == "const":
+        schedule = lambda step: peak_lr * ft_factor
+    else:
+        raise ValueError(f"unknown scheduler {sche_type!r}")
+
+    parts: List[optax.GradientTransformation] = []
+    if grad_clip is not None:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(OPTIMIZERS[optim_type](schedule, optim_conf))
+    tx = optax.chain(*parts)
+    # grad-inf skip (optim_sche/abs.py:238-247)
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=1000000)
+    if updated_modules:
+        # only update parameters under the given path prefixes
+        # (optim_sche/abs.py:112-126 updated_modules parity)
+        def label_fn(params):
+            import flax
+            flat = flax.traverse_util.flatten_dict(params)
+            labels = {}
+            for path in flat:
+                joined = "/".join(str(p) for p in path)
+                hit = any(joined.startswith(m) or ("/" + m + "/") in
+                          ("/" + joined + "/") for m in updated_modules)
+                labels[path] = "update" if hit else "freeze"
+            return flax.traverse_util.unflatten_dict(labels)
+        tx = optax.multi_transform(
+            {"update": tx, "freeze": optax.set_to_zero()}, label_fn)
+    if accum_grad > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
+    return tx
+
+
+def build_optimizers(optim_sches_cfg: Dict[str, Any], *,
+                     steps_per_epoch: int = 1000,
+                     accum_grad: int = 1, grad_clip: Optional[float] = 5.0,
+                     ft_factor: float = 1.0):
+    """Config-driven entry matching the reference ``optim_sches`` block:
+    either a single {type, conf} or a dict of named ones
+    (runner.py:697-772)."""
+    if "type" in optim_sches_cfg:
+        optim_sches_cfg = {"main": optim_sches_cfg}
+    txs = {}
+    for name, spec in optim_sches_cfg.items():
+        conf = dict(spec.get("conf", {}))
+        txs[name] = build_optimizer(
+            sche_type=spec.get("type", "noam"),
+            optim_type=conf.pop("optim_type", "Adam"),
+            optim_conf=conf.pop("optim_conf", {}),
+            warmup_steps=conf.pop("warmup_steps", 4000),
+            d_model=conf.pop("d_model", None),
+            decay_factor=conf.pop("decay_factor", 0.999),
+            steps_per_epoch=steps_per_epoch,
+            accum_grad=conf.pop("accum_grad", accum_grad),
+            grad_clip=conf.pop("grad_clip", grad_clip),
+            ft_factor=conf.pop("ft_factor", ft_factor),
+            updated_modules=conf.pop("updated_modules", None),
+        )
+    if len(txs) == 1:
+        return next(iter(txs.values()))
+    # multiple optimizers over disjoint parameter subsets combine additively:
+    # each inner tx already zeroes non-owned params via updated_modules
+    return optax.chain(*txs.values())
