@@ -1,0 +1,107 @@
+"""Benchmark: ASR training throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full jitted train step (fp32 log-Mel frontend + feature norm +
+SpecAugment + Conv2d prenet + conformer-small encoder + transformer decoder
++ CE/CTC loss + grads + Adam update) on a Mini-LibriSpeech-like workload:
+batch of 8 s utterances, bf16 matmul compute, fp32 params/frontend.
+
+vs_baseline derivation: the reference publishes no throughput numbers, only
+wall-clock (BASELINE.md): Mini LibriSpeech conformer-small, 1x RTX 3090,
+~4 h for the recipe's 100 epochs over train-clean-5 (~5 h of audio
+incl. validation overhead). 5 h * 100 epochs / 4 h wall = 125x realtime
+audio consumption ~= 45,000 mel-frames/s sustained. We report mel frames
+consumed per second per chip against that estimate; >1.0 means faster than
+the reference's GPU recipe per chip.
+"""
+
+import json
+import os
+import time
+
+REF_FRAMES_PER_SEC = 45_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
+    from speechain_tpu.ops.feat_norm import FeatNormConfig
+    from speechain_tpu.ops.frontend import FrontendConfig
+    from speechain_tpu.ops.specaug import SpecAugmentConfig
+    from speechain_tpu.parallel.mesh import make_mesh, train_step_under_mesh
+    from speechain_tpu.train.optim import build_optimizer
+    from speechain_tpu.train.state import init_train_state, make_arasr_step
+
+    # conformer-small (reference 5-bpe1k_conformer-small: d_model 256,
+    # 12 conformer layers, 6 decoder layers, bpe1k vocab)
+    V, D = 1000, 256
+    cfg = ARASRConfig(
+        vocab_size=V,
+        frontend=FrontendConfig(n_mels=80, preemphasis=0.97),
+        feat_norm=FeatNormConfig(feat_dim=80),
+        specaug=SpecAugmentConfig(freq_mask_width=27, time_mask_width=0.05),
+        enc_prenet=dict(conv_dims=[D, D], conv_kernel=3, conv_stride=2,
+                        conv_batchnorm=True, conv_activation="LeakyReLU",
+                        lnr_dims=D),
+        encoder_type="conformer",
+        encoder=dict(d_model=D, num_heads=4, num_layers=12, fdfwd_dim=4 * D,
+                     fdfwd_activation="GELU"),
+        dec_emb=dict(embedding_dim=D),
+        decoder=dict(d_model=D, num_heads=4, num_layers=6, fdfwd_dim=4 * D,
+                     fdfwd_activation="GELU"),
+        ctc_weight=0.3,
+        label_smoothing=0.1,
+        dtype=jnp.bfloat16,
+    )
+    net = ARASRNet(cfg=cfg)
+
+    B, SECS, L = 16, 8, 32
+    T = SECS * 16000
+    rng = jax.random.PRNGKey(0)
+    batch = dict(
+        feat=jax.random.normal(rng, (B, T, 1)) * 0.1,
+        feat_len=jnp.full((B,), T, jnp.int32),
+        text=jax.random.randint(rng, (B, L), 2, V).astype(jnp.int32),
+        text_len=jnp.full((B,), L, jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+    variables = net.init({"params": rng, "dropout": rng, "specaug": rng},
+                         batch["feat"], batch["feat_len"], batch["text"],
+                         batch["text_len"], train=False)
+    tx = build_optimizer(optim_conf={"lr": 2e-3}, warmup_steps=4000)
+    state = init_train_state(variables, tx)
+
+    mesh = make_mesh(n_data=len(jax.devices()))
+    jstep = train_step_under_mesh(
+        make_arasr_step(net, cfg, tx, axis_name="data"), mesh)
+
+    # warmup / compile
+    state, m = jstep(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    state, m = jstep(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = jstep(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    mel_frames = B * (T // 160 + 1)  # 10 ms hop
+    frames_per_sec = mel_frames * n_steps / dt / n_chips
+    value = round(frames_per_sec, 1)
+    print(json.dumps({
+        "metric": "asr_train_melframes_per_sec_per_chip",
+        "value": value,
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / REF_FRAMES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

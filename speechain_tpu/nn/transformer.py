@@ -47,7 +47,9 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src: Array, mask: Optional[Array], *,
-                 train: bool = False, return_attmat: bool = True):
+                 train: bool = False, return_attmat: bool = True,
+                 decode: bool = False, cache_capacity: Optional[int] = None,
+                 prime: bool = False):
         ln_att = nn.LayerNorm(epsilon=1e-6, name="att_layernorm")
         ln_ff = nn.LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
         drop = nn.Dropout(self.res_dropout, deterministic=not train)
@@ -57,7 +59,8 @@ class TransformerEncoderLayer(nn.Module):
             d_model=self.d_model, num_heads=self.num_heads,
             dropout=self.att_dropout, scale_dp_by_head=self.scale_dp_by_head,
             dtype=self.dtype, name="multihead_att",
-        )(x, x, x, mask, train=train, return_attmat=return_attmat)
+        )(x, x, x, mask, train=train, return_attmat=return_attmat,
+          decode=decode, cache_capacity=cache_capacity, prime=prime)
         att_out = drop(att_hidden) + src
         if not self.layernorm_first:
             att_out = ln_att(att_out)
@@ -106,19 +109,32 @@ class TransformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, src: Array, mask: Optional[Array], *,
                  train: bool = False, return_attmat: bool = False,
-                 return_hidden: bool = False):
-        src = PositionalEncoding(
+                 return_hidden: bool = False, decode: bool = False,
+                 cache_capacity: Optional[int] = None, prime: bool = False):
+        posenc = PositionalEncoding(
             d_model=self.d_model, posenc_type=self.posenc_type,
             emb_layernorm=self.emb_layernorm, emb_scale=self.emb_scale,
             posenc_scale=self.posenc_scale, init_alpha=self.posenc_init_alpha,
             dropout=self.posenc_dropout, max_len=self.posenc_maxlen,
             name="posenc",
-        )(src, train=train)
-
-        if self.uni_direction:
-            L = src.shape[1]
-            causal = subsequent_mask(L)  # (1, L, L)
-            mask = causal if mask is None else (mask & causal)
+        )
+        if decode:
+            # single-step cached mode (LM decoding in beam search): position
+            # tracked in the cache collection like TransformerDecoder
+            assert self.uni_direction, "decode mode implies causal encoder"
+            pos_var = self.variable("cache", "position",
+                                    lambda: jnp.zeros((), jnp.int32))
+            if prime:
+                src = posenc(src, train=train)
+            else:
+                src = posenc(src, train=train, offset=pos_var.value)
+                pos_var.value = pos_var.value + src.shape[1]
+        else:
+            src = posenc(src, train=train)
+            if self.uni_direction:
+                L = src.shape[1]
+                causal = subsequent_mask(L)  # (1, L, L)
+                mask = causal if mask is None else (mask & causal)
 
         attmats, hiddens = [], []
         for i in range(self.num_layers):
@@ -132,7 +148,9 @@ class TransformerEncoder(nn.Module):
                 res_dropout=self.res_dropout,
                 layernorm_first=self.layernorm_first, dtype=self.dtype,
                 name=f"layer_{i}",
-            )(src, mask, train=train, return_attmat=return_attmat)
+            )(src, mask if not decode else None, train=train,
+              return_attmat=return_attmat, decode=decode,
+              cache_capacity=cache_capacity, prime=prime)
             if return_attmat:
                 attmats.append(attmat)
             if return_hidden:

@@ -75,19 +75,53 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def train_step_gspmd(step_fn: Callable, mesh: Mesh,
+                     donate_state: bool = True) -> Callable:
+    """GSPMD path: jit the GLOBAL-batch step with sharding annotations and
+    let XLA insert the collectives (the scaling-book recipe). Supports
+    dp x tp meshes: batch sharded on 'data', large kernels sharded on
+    'model' via :func:`param_sharding_rules`; gradient reduction, batch-stat
+    sync and metric averaging all fall out of the partitioner.
+
+    ``step_fn`` must be written WITHOUT axis_name collectives
+    (axis_name=None): the batch it sees is the global batch.
+    """
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    def wrapped(state, batch, rng):
+        batch = {k: (jax.lax.with_sharding_constraint(v, place(v))
+                     if hasattr(v, "ndim") else v)
+                 for k, v in batch.items()}
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, l: jax.lax.with_sharding_constraint(
+                l, NamedSharding(mesh, param_sharding_rules(p, l))),
+            state.params)
+        state = state._replace(params=params)
+        return step_fn(state, batch, rng)
+
+    return jax.jit(wrapped, donate_argnums=(0,) if donate_state else ())
+
+
 def train_step_under_mesh(step_fn: Callable, mesh: Mesh,
                           donate_state: bool = True) -> Callable:
     """Wrap a per-replica ``step_fn(state, batch, rng) -> (state, metrics)``
     with shard_map over the mesh: batch split on 'data', state replicated,
     collectives (psum/pmean with axis_name='data') resolved on ICI.
     """
-    state_spec = P()        # replicated parameters/optimizer state
-    batch_spec = P("data")  # batch axis sharded
+    def run(state, batch, rng):
+        # per-leaf batch specs: arrays shard on dim 0, scalars replicate
+        batch_specs = jax.tree_util.tree_map(
+            lambda x: P("data") if getattr(x, "ndim", 0) >= 1 else P(),
+            batch)
+        wrapped = jax.shard_map(
+            step_fn, mesh=mesh,
+            in_specs=(P(), batch_specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return wrapped(state, batch, rng)
 
-    wrapped = jax.shard_map(
-        step_fn, mesh=mesh,
-        in_specs=(state_spec, batch_spec, P()),
-        out_specs=(state_spec, P()),
-        check_vma=False,
-    )
-    return jax.jit(wrapped, donate_argnums=(0,) if donate_state else ())
+    return jax.jit(run, donate_argnums=(0,) if donate_state else ())
