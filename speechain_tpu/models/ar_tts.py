@@ -208,6 +208,42 @@ class ARTTSNet(nn.Module):
             out["cross_att"] = cross_att[0]
         return out
 
+    def encode_text(self, text: Array, text_len: Array, *,
+                    spk_feat: Optional[Array] = None,
+                    spk_ids: Optional[Array] = None):
+        """Encoder pass + speaker combination, for the inference driver."""
+        enc_text, _, enc_mask, _ = self.encoder_mod(text, text_len,
+                                                    train=False)
+        if self.cfg.spk_emb is not None:
+            embs = self.spk_emb_mod.embed(spk_ids=spk_ids, spk_feat=spk_feat)
+            enc_text = self.spk_emb_mod.combine(enc_text, embs, where="enc")
+        return enc_text, enc_mask
+
+    def decode_step(self, feat_frame: Array, enc_text: Array,
+                    enc_mask: Array, *, spk_feat: Optional[Array] = None,
+                    spk_ids: Optional[Array] = None, prime: bool = False,
+                    cache_capacity: Optional[int] = None):
+        """Single-step KV-cached AR mel decoding. feat_frame (B, 1, D*r).
+
+        enc_text must already include the speaker combination
+        (:meth:`encode_text`); the dec-side combination happens here.
+        Returns (stop_logit (B, 1), feat_before (B, 1, D*r)).
+        """
+        c = self.cfg
+        x, _ = self.dec_prenet(feat_frame, None, train=True)
+        if c.spk_emb is not None and self.spk_emb_mod.use_dec_comb:
+            embs = self.spk_emb_mod.embed(spk_ids=spk_ids, spk_feat=spk_feat)
+            x = self.spk_emb_mod.combine(x, embs, where="dec")
+        dec_feat, *_ = self.decoder(x, enc_text, None, enc_mask, decode=True,
+                                    prime=prime,
+                                    cache_capacity=cache_capacity)
+        return (self.stop_pred(dec_feat)[..., 0],
+                self.feat_pred(dec_feat))
+
+    def apply_postnet(self, pred_before: Array) -> Array:
+        """Postnet residual over a (possibly partial) sequence."""
+        return pred_before + self.postnet(pred_before, train=False)
+
     def recover_feat(self, feat: Array,
                      group_ids: Optional[Array] = None) -> Array:
         """Denormalize + reduction-ungroup predicted features for vocoding

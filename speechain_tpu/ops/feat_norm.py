@@ -86,6 +86,16 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
+def coerce_stats(stats) -> Optional[NormStats]:
+    """Accept a NormStats or a plain dict (orbax restores NamedTuples as
+    dicts when no template pytree is supplied)."""
+    if stats is None or isinstance(stats, NormStats):
+        return stats
+    if isinstance(stats, dict):
+        return NormStats(**stats)
+    return NormStats(*stats)
+
+
 def apply_feat_norm(
     stats: Optional[NormStats],
     feat: Array,
@@ -104,6 +114,7 @@ def apply_feat_norm(
         reference's scalar-group_ids batches).
     Returns (feat, feat_len, new_stats).
     """
+    stats = coerce_stats(stats)
     squeeze = feat.ndim == 2
     if squeeze:
         feat = feat[..., None]
@@ -198,6 +209,7 @@ def recover_feat_norm(stats: NormStats, feat: Array, cfg: FeatNormConfig,
     """Inverse transform for inference outputs (feat_norm.py:533-607)."""
     assert cfg.norm_type in ("global", "group"), (
         "utterance/batch-normalized features cannot be recovered")
+    stats = coerce_stats(stats)
     if group_ids is None:
         group_ids = jnp.zeros((feat.shape[0],), jnp.int32)
     seen_sel = stats.seen[group_ids][:, None]

@@ -1,0 +1,147 @@
+"""Griffin-Lim vocoding: log-Mel -> linear spectrogram -> waveform.
+
+Rebuild of reference ``module/frontend/linear2mel.py:191-224`` (mel inversion
+via least-squares pseudo-inverse) + ``speech2linear.py:252-351`` (torchaudio
+GriffinLim + inverse pre-emphasis), all in JAX:
+
+- mel -> linear: exp/de-log, then multiply by pinv(mel_fb) computed on host
+  in float64 (torch.linalg.lstsq parity), clamped at >= 0.
+- Griffin-Lim: n_iter alternating ISTFT/STFT phase-projection steps with
+  jnp.fft (rfft/irfft framing identical to the forward frontend).
+- inverse pre-emphasis: y[t] = x[t] + p * y[t-1] as a lax.scan (the
+  reference emulates it with a long FIR conv window, speech2linear.py:320).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechain_tpu.ops.frontend import FrontendConfig, hann_window, mel_filterbank
+
+Array = jnp.ndarray
+
+
+def mel_pinv(cfg: FrontendConfig) -> np.ndarray:
+    """(n_mels, n_freqs) least-squares inverse of the mel filterbank."""
+    fb = mel_filterbank(cfg.n_freqs, cfg.n_mels, cfg.sr, cfg.fmin, cfg.fmax,
+                        cfg.mel_scale, cfg.mel_norm).astype(np.float64)
+    return np.linalg.pinv(fb).astype(np.float32)  # (n_mels, n_freqs)^+
+
+
+def logmel_to_linear(logmel: Array, cfg: FrontendConfig,
+                     pinv: Optional[Array] = None) -> Array:
+    """Invert clamp->log->mel back to a linear power/mag spectrogram."""
+    if pinv is None:
+        pinv = jnp.asarray(mel_pinv(cfg))
+    mel = logmel
+    if cfg.logging:
+        base = cfg.log_base if cfg.log_base is not None else math.e
+        mel = jnp.exp(mel * math.log(base))
+    linear = jnp.einsum("btm,mf->btf", mel, pinv,
+                        precision=jax.lax.Precision.HIGHEST)
+    return jnp.clip(linear, min=1e-10)
+
+
+def _stft(frames_signal: Array, window: Array, n_fft: int, hop: int) -> Array:
+    pad = n_fft // 2
+    x = jnp.pad(frames_signal, ((0, 0), (pad, pad)), mode="reflect")
+    T = (x.shape[1] - n_fft) // hop + 1
+    idx = (jnp.arange(T)[:, None] * hop + jnp.arange(n_fft)[None, :])
+    frames = x[:, idx] * window[None, None, :]
+    return jnp.fft.rfft(frames, n=n_fft, axis=-1)       # (B, T, n_freq)
+
+
+def _istft(spec: Array, window: Array, n_fft: int, hop: int,
+           length: int) -> Array:
+    """Overlap-add inverse STFT with window-square normalization."""
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)      # (B, T, n_fft)
+    frames = frames * window[None, None, :]
+    B, T, _ = frames.shape
+    pad = n_fft // 2
+    out_len = (T - 1) * hop + n_fft
+
+    def ola(sig_frames):
+        out = jnp.zeros((out_len,))
+        for_scan = (jnp.arange(T) * hop, sig_frames)
+
+        def body(acc, xs):
+            start, fr = xs
+            return jax.lax.dynamic_update_slice(
+                acc, jax.lax.dynamic_slice(acc, (start,), (n_fft,)) + fr,
+                (start,)), None
+
+        out, _ = jax.lax.scan(body, out, for_scan)
+        return out
+
+    sig = jax.vmap(ola)(frames)
+    wsq = window ** 2
+    norm = jnp.zeros((out_len,))
+    starts = jnp.arange(T) * hop
+
+    def nbody(acc, start):
+        return jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (start,), (n_fft,)) + wsq,
+            (start,)), None
+
+    norm, _ = jax.lax.scan(nbody, norm, starts)
+    sig = sig / jnp.maximum(norm[None, :], 1e-11)
+    return sig[:, pad:pad + length]
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_iter", "length"))
+def griffin_lim(linear: Array, cfg: FrontendConfig, n_iter: int = 32,
+                length: Optional[int] = None,
+                key: Optional[jax.Array] = None) -> Array:
+    """linear power (or magnitude) spectrogram (B, T, n_freq) -> wave (B, L)."""
+    n_fft, hop = cfg.fft, cfg.hop
+    window = jnp.asarray(hann_window(cfg.win))
+    if window.shape[0] < n_fft:
+        off = (n_fft - window.shape[0]) // 2
+        window = jnp.pad(window, (off, n_fft - window.shape[0] - off))
+    mag = linear if cfg.mag_spec else jnp.sqrt(linear)
+    B, T, F = mag.shape
+    length = length if length is not None else (T - 1) * hop
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    angles = jnp.exp(1j * 2 * jnp.pi * jax.random.uniform(key, (B, T, F)))
+    spec = mag.astype(jnp.complex64) * angles
+
+    def gl_step(spec, _):
+        wave = _istft(spec, window, n_fft, hop, length)
+        re = _stft(wave, window, n_fft, hop)[:, :T]
+        phase = re / jnp.maximum(jnp.abs(re), 1e-16)
+        return mag.astype(jnp.complex64) * phase, None
+
+    spec, _ = jax.lax.scan(gl_step, spec, None, length=n_iter)
+    wave = _istft(spec, window, n_fft, hop, length)
+    return wave
+
+
+def inverse_preemphasis(wave: Array, coeff: float) -> Array:
+    """IIR y[t] = x[t] + coeff * y[t-1] (speech2linear.py:312-333)."""
+    def body(carry, x):
+        y = x + coeff * carry
+        return y, y
+
+    _, out = jax.lax.scan(body, jnp.zeros(wave.shape[0]), wave.T)
+    return out.T
+
+
+def logmel_to_wave(logmel: Array, feat_len: Array, cfg: FrontendConfig,
+                   n_iter: int = 32, key: Optional[jax.Array] = None):
+    """Full recovery pipeline (speech2mel.py:191-210): denormalized log-Mel
+    -> linear -> Griffin-Lim -> inverse pre-emphasis. Returns (wave, wave_len).
+    """
+    linear = logmel_to_linear(logmel, cfg)
+    wave = griffin_lim(linear, cfg, n_iter=n_iter, key=key)
+    if cfg.preemphasis is not None:
+        wave = inverse_preemphasis(wave, cfg.preemphasis)
+    wave_len = jnp.minimum(feat_len * cfg.hop, wave.shape[1])
+    return wave, wave_len

@@ -1,0 +1,335 @@
+"""CLI entry point: config-driven training and evaluation.
+
+Rebuild of reference ``speechain/runner.py:38-2128`` as a TPU-native driver:
+- same experiment surface: ``--config`` exp_cfg YAML (with !ref tags)
+  containing ``data_cfg`` / ``train_cfg`` / ``infer_cfg``; CLI flags override
+  YAML (runner.py:2045-2091 precedence);
+- epoch loop with per-epoch seeding, validation every ``valid_per_epochs``,
+  best-model selection / pruning / averaging / early stopping, resumable
+  full-state checkpointing;
+- the DDP machinery (mp.spawn, process groups, skip-flag collectives,
+  runner.py:1632-2014) is replaced by one process driving a
+  ``jax.sharding.Mesh``: the jitted train step handles all device
+  parallelism; data sharding happens in the host loader.
+
+Usage::
+
+    python -m speechain_tpu.runner --config exp_cfg.yaml --train
+    python -m speechain_tpu.runner --config exp_cfg.yaml --test \
+        --test_model 10_loss_average
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="speechain_tpu runner")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--dry_run", action="store_true",
+                   help="data-loading-only epochs (runner.py:338)")
+    p.add_argument("--no_optim", action="store_true",
+                   help="forward-only steps (runner.py:347)")
+    p.add_argument("--result_path", type=str, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--valid_per_epochs", type=int, default=None)
+    p.add_argument("--report_per_steps", type=int, default=None)
+    p.add_argument("--accum_grad", type=int, default=None)
+    p.add_argument("--grad_clip", type=float, default=None)
+    p.add_argument("--use_bf16", action="store_true", default=None)
+    p.add_argument("--early_stopping_patience", type=int, default=None)
+    p.add_argument("--last_model_num", type=int, default=None)
+    p.add_argument("--best_model_num", type=int, default=None)
+    p.add_argument("--test_model", type=str, default=None)
+    p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--batch_bucket", type=int, default=8)
+    p.add_argument("--time_bucket", type=int, default=None)
+    p.add_argument("--token_bucket", type=int, default=16)
+    return p.parse_args(argv)
+
+
+DEFAULTS = dict(seed=0, num_epochs=100, valid_per_epochs=1,
+                report_per_steps=100, accum_grad=1, grad_clip=5.0,
+                use_bf16=False, early_stopping_patience=10,
+                last_model_num=1, best_model_num=5)
+
+
+def merge_config(args) -> Dict[str, Any]:
+    """CLI > exp_cfg yaml > defaults (runner.py:2045-2091)."""
+    from speechain_tpu.utils.yamlref import load_yaml
+    exp_cfg = load_yaml(args.config)
+    merged = dict(DEFAULTS)
+    for k in DEFAULTS:
+        if k in exp_cfg and exp_cfg[k] is not None:
+            merged[k] = exp_cfg[k]
+        v = getattr(args, k, None)
+        if v is not None:
+            merged[k] = v
+    merged["result_path"] = (args.result_path or exp_cfg.get("result_path")
+                             or os.path.join(
+                                 os.path.dirname(os.path.abspath(args.config)),
+                                 "exp"))
+    merged["data_cfg"] = exp_cfg["data_cfg"]
+    merged["train_cfg"] = exp_cfg["train_cfg"]
+    merged["infer_cfg"] = exp_cfg.get("infer_cfg", {})
+    merged["test_model"] = args.test_model or exp_cfg.get("test_model")
+    return merged
+
+
+def build_data(data_cfg: Dict, split: str, tokenizer, *, batch_bucket=8,
+               time_bucket=None, token_bucket=16, num_workers=4):
+    """data_cfg[split] -> EpochLoader or MultiLoader (runner.py:549-659)."""
+    from speechain_tpu.data.loader import (EpochLoader, MultiLoader,
+                                           collate_speech_text)
+    from speechain_tpu.utils.registry import resolve
+
+    spec = data_cfg[split]
+    tb = time_bucket or 1600
+
+    def one(spec_one):
+        it_cls = resolve("iterator." + spec_one["type"]
+                         if "." not in spec_one["type"] else spec_one["type"])
+        conf = dict(spec_one.get("conf", {}))
+        it = it_cls(**conf)
+        collate = partial(collate_speech_text, tokenizer=tokenizer,
+                          time_bucket=tb, token_bucket=token_bucket,
+                          batch_bucket=batch_bucket)
+        return EpochLoader(it, collate, num_workers=num_workers)
+
+    if "type" in spec:
+        return one(spec)
+    return MultiLoader({name: one(s) for name, s in spec.items()})
+
+
+def train_main(cfg: Dict, args):
+    import jax
+    import jax.numpy as jnp
+
+    from speechain_tpu.builders import build_model, build_tokenizer
+    from speechain_tpu.models.ar_asr import ARASRConfig
+    from speechain_tpu.parallel.mesh import make_mesh, train_step_under_mesh
+    from speechain_tpu.train.checkpoint import (BestModelTracker,
+                                                CheckpointManager)
+    from speechain_tpu.train.monitor import TrainValidMonitor, setup_logger
+    from speechain_tpu.train.optim import build_optimizers
+    from speechain_tpu.train.state import init_train_state, make_arasr_step
+
+    result_path = cfg["result_path"]
+    os.makedirs(result_path, exist_ok=True)
+    logger = setup_logger(os.path.join(result_path, "train.log"))
+    seed = int(cfg["seed"])
+
+    model_cfg = cfg["train_cfg"]["model"]
+    customize = (model_cfg.get("model_conf", {}) or {}).get(
+        "customize_conf", {})
+    tokenizer = build_tokenizer(customize.get("token_type", "char"),
+                                customize.get("token_path"))
+    dtype = jnp.bfloat16 if cfg["use_bf16"] else jnp.float32
+    net, net_cfg, mtype = build_model(model_cfg, tokenizer.vocab_size, dtype)
+    if not isinstance(net_cfg, ARASRConfig):
+        raise NotImplementedError(
+            "the CLI train loop currently drives ASR/LM-style models; TTS "
+            "training via CLI lands with the recipe suite")
+
+    loaders = {}
+    for split in ("train", "valid"):
+        loaders[split] = build_data(
+            cfg["data_cfg"], split, tokenizer,
+            batch_bucket=args.batch_bucket,
+            time_bucket=args.time_bucket, token_bucket=args.token_bucket)
+
+    # ---- model + optimizer + mesh --------------------------------------
+    rng = jax.random.PRNGKey(seed)
+    first_batch = next(loaders["train"].epoch(0))
+    variables = net.init(
+        {"params": rng, "dropout": rng, "specaug": rng},
+        jnp.asarray(first_batch["feat"]), jnp.asarray(first_batch["feat_len"]),
+        jnp.asarray(first_batch["text"]), jnp.asarray(first_batch["text_len"]),
+        train=False)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(
+        variables["params"]))
+    logger.info("model %s: %.2fM parameters", mtype, n_params / 1e6)
+
+    steps_per_epoch = max(len(loaders["train"]), 1)
+    tx = build_optimizers(cfg["train_cfg"].get("optim_sches", {}),
+                          steps_per_epoch=steps_per_epoch,
+                          accum_grad=cfg["accum_grad"],
+                          grad_clip=cfg["grad_clip"])
+    state = init_train_state(variables, tx)
+
+    n_dev = args.n_devices or len(jax.devices())
+    mesh = make_mesh(n_data=n_dev)
+    jtrain = train_step_under_mesh(
+        make_arasr_step(net, net_cfg, tx, axis_name="data"), mesh)
+    jvalid = train_step_under_mesh(
+        make_arasr_step(net, net_cfg, tx, axis_name="data", train=False),
+        mesh, donate_state=False)
+
+    ckpt = CheckpointManager(result_path)
+    tracker = BestModelTracker(
+        rules=[("loss", "min", cfg["best_model_num"])],
+        last_n=cfg["last_model_num"],
+        early_stopping_patience=cfg["early_stopping_patience"])
+    monitor = TrainValidMonitor(result_path, logger,
+                                report_per_steps=cfg["report_per_steps"])
+    start_epoch = 1
+    if args.resume and ckpt.has_checkpoint():
+        state, meta = ckpt.restore_train_state(state)
+        if meta:
+            start_epoch = meta.get("epoch", 0) + 1
+            if "monitor" in meta:
+                monitor.load_state_dict(meta["monitor"])
+            if "tracker" in meta:
+                tracker.load_state_dict(meta["tracker"])
+        logger.info("resumed from epoch %d", start_epoch - 1)
+
+    def to_device_batch(b):
+        return dict(
+            feat=jnp.asarray(b["feat"]), feat_len=jnp.asarray(b["feat_len"]),
+            text=jnp.asarray(b["text"]), text_len=jnp.asarray(b["text_len"]))
+
+    for epoch in range(start_epoch, cfg["num_epochs"] + 1):
+        ep_rng = jax.random.fold_in(rng, epoch)
+        t_ep = time.time()
+        for batch in loaders["train"].epoch(epoch):
+            with monitor.measure_time("step_time"):
+                if args.dry_run:
+                    continue
+                db = to_device_batch(batch)
+                db["epoch"] = jnp.asarray(epoch, jnp.int32)
+                if args.no_optim:
+                    _, metrics = jvalid(state, db, ep_rng)
+                else:
+                    state, metrics = jtrain(state, db, ep_rng)
+            monitor.train_step(metrics)
+        monitor.finish_train_epoch(epoch)
+
+        if epoch % cfg["valid_per_epochs"] == 0 and not args.dry_run:
+            for batch in loaders["valid"].epoch(epoch):
+                db = to_device_batch(batch)
+                db["epoch"] = jnp.asarray(epoch, jnp.int32)
+                _, metrics = jvalid(state, db, ep_rng)
+                monitor.valid_step(metrics)
+            valid_summary = monitor.finish_valid_epoch(epoch)
+
+            ckpt.save_epoch_model(epoch, state.params, state.mutables)
+            decision = tracker.update(epoch, valid_summary)
+            ckpt.prune_epochs(decision["keep"])
+            ckpt.save_train_state(state, extra=dict(
+                epoch=epoch, monitor=monitor.state_dict(),
+                tracker=tracker.state_dict()))
+            if decision["early_stop"]:
+                logger.info("early stopping at epoch %d", epoch)
+                break
+        logger.info("epoch %d done in %.1fs", epoch, time.time() - t_ep)
+
+    # final N-best average (monitor.py:1031-1121)
+    decision = tracker.update(cfg["num_epochs"] + 1, {})
+    best = decision["best"].get(tracker.rules[0][0], [])
+    if len(best) > 1:
+        template = {"params": jax.device_get(state.params),
+                    **jax.device_get(state.mutables)}
+        ckpt.average_models(best, template,
+                            name=f"{tracker.rules[0][0]}_average")
+    monitor.close()
+    logger.info("training finished")
+    return state
+
+
+def test_main(cfg: Dict, args):
+    import jax
+    import jax.numpy as jnp
+
+    from speechain_tpu.builders import build_model, build_tokenizer
+    from speechain_tpu.infer.asr import asr_beam_search
+    from speechain_tpu.train.checkpoint import CheckpointManager
+    from speechain_tpu.train.monitor import setup_logger
+    from speechain_tpu.utils.metrics import batch_error_rates
+    from speechain_tpu.utils.reports import write_test_reports
+
+    result_path = cfg["result_path"]
+    logger = setup_logger(os.path.join(result_path, "test.log"))
+    model_cfg = cfg["train_cfg"]["model"]
+    customize = (model_cfg.get("model_conf", {}) or {}).get(
+        "customize_conf", {})
+    tokenizer = build_tokenizer(customize.get("token_type", "char"),
+                                customize.get("token_path"))
+    net, net_cfg, mtype = build_model(model_cfg, tokenizer.vocab_size)
+
+    ckpt = CheckpointManager(result_path)
+    state_template = None  # restored payload is a dict of arrays
+    name = cfg.get("test_model") or "latest"
+    if name == "latest" or name is None:
+        state, meta = ckpt.restore_train_state(None)
+        variables = {"params": state["params"], **state["mutables"]}
+    else:
+        # epoch number or averaged-model name
+        path_epoch = name.replace("epoch_", "")
+        payload = ckpt.restore_epoch_model(int(path_epoch), state_template) \
+            if path_epoch.isdigit() else None
+        if payload is None:
+            import orbax.checkpoint as ocp
+            payload = ocp.StandardCheckpointer().restore(
+                os.path.join(result_path, "models", name), None)
+        variables = dict(payload)
+
+    infer_cfg = cfg.get("infer_cfg") or {}
+    test_loaders = {k: v for k, v in cfg["data_cfg"].items()
+                    if k not in ("train", "valid")}
+    all_results = {}
+    for set_name in (test_loaders or {"valid": None}):
+        loader = build_data(cfg["data_cfg"], set_name, tokenizer,
+                            batch_bucket=args.batch_bucket,
+                            time_bucket=args.time_bucket,
+                            token_bucket=args.token_bucket)
+        idx2hypo, idx2cer, idx2wer = {}, {}, {}
+        for batch in loader.epoch(0):
+            out = asr_beam_search(
+                net, variables, jnp.asarray(batch["feat"]),
+                jnp.asarray(batch["feat_len"]),
+                beam_size=int(infer_cfg.get("beam_size", 4)),
+                temperature=float(infer_cfg.get("temperature", 1.0)),
+                ctc_weight=float(infer_cfg.get("ctc_weight", 0.0)),
+                length_penalty=float(infer_cfg.get("length_penalty", 1.0)))
+            n = batch["n_real"]
+            hyps = [tokenizer.tensor2text(
+                np.asarray(out["hypo_text"][i][:int(out["hypo_text_len"][i])]))
+                for i in range(n)]
+            refs = batch["raw_text"]
+            cers, wers, _ = batch_error_rates(hyps, refs)
+            for i, idx in enumerate(batch["indices"]):
+                idx2hypo[idx], idx2cer[idx], idx2wer[idx] = \
+                    hyps[i], cers[i], wers[i]
+        summary = dict(cer=float(np.mean(list(idx2cer.values()))),
+                       wer=float(np.mean(list(idx2wer.values()))))
+        logger.info("%s: %s", set_name, summary)
+        write_test_reports(os.path.join(result_path, name, set_name),
+                           idx2hypo=idx2hypo, idx2cer=idx2cer,
+                           idx2wer=idx2wer, summary=summary)
+        all_results[set_name] = summary
+    return all_results
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = merge_config(args)
+    if args.train:
+        train_main(cfg, args)
+    if args.test:
+        return test_main(cfg, args)
+
+
+if __name__ == "__main__":
+    main()

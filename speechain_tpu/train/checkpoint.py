@@ -1,0 +1,180 @@
+"""Checkpointing: orbax-backed save/restore of the full train state plus the
+reference's best/latest model bookkeeping.
+
+Rebuild of reference semantics (SURVEY §5.4):
+- per-epoch ``models/epoch_{n}`` checkpoints with a retention set driven by
+  best-model selection and ``last_n`` (monitor.py:929-971);
+- ``checkpoint`` = latest full train state (params, optimizer, running
+  stats, monitor records, epoch cursor) for --resume (runner.py:1257-1273);
+- N-best model averaging (monitor.py:1031-1121) — parameter-space mean of
+  the selected epochs' params.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper with reference-style layout under ``exp_dir``:
+
+    exp_dir/
+      checkpoint/          latest full train state (resume point)
+      models/epoch_{n}/    per-epoch params-only checkpoints
+      models/registry.json epoch -> metrics record
+    """
+
+    def __init__(self, exp_dir: str):
+        self.exp_dir = os.path.abspath(exp_dir)
+        self.models_dir = os.path.join(self.exp_dir, "models")
+        os.makedirs(self.models_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ---------------- full-state resume point ---------------------------
+    def save_train_state(self, state, extra: Optional[Dict] = None):
+        path = os.path.join(self.exp_dir, "checkpoint")
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, jax.device_get(state))
+        self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        if extra is not None:
+            with open(os.path.join(self.exp_dir, "checkpoint_meta.json"),
+                      "w") as f:
+                json.dump(extra, f)
+
+    def restore_train_state(self, template):
+        path = os.path.join(self.exp_dir, "checkpoint")
+        state = self._ckptr.restore(path, template)
+        # orbax commits restored arrays to one device; hand back host numpy
+        # so the sharded/jitted step can place them on the full mesh freely
+        state = jax.tree_util.tree_map(np.asarray, state)
+        meta_path = os.path.join(self.exp_dir, "checkpoint_meta.json")
+        meta = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return state, meta
+
+    def has_checkpoint(self) -> bool:
+        return os.path.exists(os.path.join(self.exp_dir, "checkpoint"))
+
+    # ---------------- per-epoch model snapshots -------------------------
+    def save_epoch_model(self, epoch: int, params,
+                         mutables: Optional[Dict] = None):
+        path = os.path.join(self.models_dir, f"epoch_{epoch}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        payload = {"params": jax.device_get(params)}
+        if mutables:
+            payload.update(jax.device_get(mutables))
+        self._ckptr.save(path, payload)
+        self._ckptr.wait_until_finished()
+
+    def restore_epoch_model(self, epoch: int, template):
+        path = os.path.join(self.models_dir, f"epoch_{epoch}")
+        return self._ckptr.restore(path, template)
+
+    def prune_epochs(self, keep: List[int]):
+        """Delete epoch checkpoints not in ``keep`` (monitor.py:959-971)."""
+        keep_set = {f"epoch_{e}" for e in keep}
+        for name in os.listdir(self.models_dir):
+            if name.startswith("epoch_") and name not in keep_set:
+                shutil.rmtree(os.path.join(self.models_dir, name),
+                              ignore_errors=True)
+
+    def average_models(self, epochs: List[int], template,
+                       name: str = "average"):
+        """N-best parameter averaging (monitor.py:1031-1121)."""
+        assert epochs, "cannot average zero checkpoints"
+        acc = None
+        for e in epochs:
+            payload = self.restore_epoch_model(e, template)
+            params = payload["params"]
+            if acc is None:
+                acc = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x, dtype=np.float64), params)
+            else:
+                acc = jax.tree_util.tree_map(
+                    lambda a, x: a + np.asarray(x, dtype=np.float64),
+                    acc, params)
+        n = float(len(epochs))
+        avg = jax.tree_util.tree_map(
+            lambda a: (a / n).astype(np.float32), acc)
+        path = os.path.join(self.models_dir,
+                            f"{len(epochs)}_{name}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, {"params": avg})
+        self._ckptr.wait_until_finished()
+        return avg
+
+
+class BestModelTracker:
+    """best_model_selection bookkeeping (monitor.py:647-1027): track the top
+    N epochs per (metric, mode) rule, decide retention, early stopping."""
+
+    def __init__(self, rules: List, last_n: int = 1,
+                 early_stopping_patience: int = 10,
+                 early_stopping_threshold: float = 0.0):
+        # rule: (metric_name, 'min'|'max', keep_n)
+        self.rules = [tuple(r) for r in rules] or [("loss", "min", 5)]
+        self.last_n = last_n
+        self.records: Dict[int, Dict[str, float]] = {}
+        self.patience = early_stopping_patience
+        self.threshold = early_stopping_threshold
+        self._best_so_far: Optional[float] = None
+        self._bad_epochs = 0
+
+    def update(self, epoch: int, metrics: Dict[str, float]) -> Dict:
+        self.records[epoch] = dict(metrics)
+        keep = set()
+        best_per_rule = {}
+        for metric, mode, n in self.rules:
+            scored = [(ep, rec[metric]) for ep, rec in self.records.items()
+                      if metric in rec]
+            scored.sort(key=lambda kv: kv[1], reverse=(mode == "max"))
+            chosen = [ep for ep, _ in scored[: int(n)]]
+            keep.update(chosen)
+            if chosen:
+                best_per_rule[metric] = chosen
+        recent = sorted(self.records)[-self.last_n:]
+        keep.update(recent)
+
+        # early stopping on the first rule's metric (monitor.py:973-1027)
+        metric, mode, _ = self.rules[0]
+        cur = metrics.get(metric)
+        stop = False
+        if cur is not None:
+            improved = (self._best_so_far is None
+                        or (mode == "min"
+                            and cur < self._best_so_far - self.threshold)
+                        or (mode == "max"
+                            and cur > self._best_so_far + self.threshold))
+            if improved:
+                self._best_so_far = cur
+                self._bad_epochs = 0
+            else:
+                self._bad_epochs += 1
+                stop = self._bad_epochs >= self.patience
+        return dict(keep=sorted(keep), best=best_per_rule,
+                    early_stop=stop, bad_epochs=self._bad_epochs)
+
+    def state_dict(self):
+        return dict(records=self.records, best_so_far=self._best_so_far,
+                    bad_epochs=self._bad_epochs)
+
+    def load_state_dict(self, d):
+        self.records = {int(k): v for k, v in d["records"].items()}
+        self._best_so_far = d["best_so_far"]
+        self._bad_epochs = d["bad_epochs"]

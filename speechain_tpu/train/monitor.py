@@ -1,0 +1,208 @@
+"""Observability: step/epoch records, wall-clock tracing, TensorBoard +
+matplotlib snapshots off the training thread, markdown report suite.
+
+Rebuild of reference ``speechain/monitor.py`` + ``snapshooter.py``:
+- ``measure_time`` context manager (monitor.py:126-148) for
+  data-load/forward/backward/optim timing aggregated per step-group;
+- per-N-step train reports and epoch mean±std summaries (monitor.py:289-505);
+- figure/TensorBoard snapshotting in a background worker fed by a queue
+  (monitor.py:87-100, snapshooter.py:352-491) — a daemon thread here
+  (matplotlib Agg is thread-safe for our usage; a separate process is
+  pointless under jit since the step loop releases the GIL on device work);
+- TestMonitor's idx2-file dumps, overall_results.md with group tables and
+  top-N bad cases (monitor.py:1672-1837) live in ``utils/reports.py``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import os
+import queue
+import threading
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def setup_logger(log_path: str, name: str = "speechain_tpu"
+                 ) -> logging.Logger:
+    """Per-run file+stdout logger (utilbox/log_util.py:38)."""
+    logger = logging.getLogger(f"{name}:{log_path}")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
+    fh = logging.FileHandler(log_path)
+    sh = logging.StreamHandler()
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    fh.setFormatter(fmt)
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    logger.propagate = False
+    return logger
+
+
+class SnapShooter:
+    """Background figure/TensorBoard writer fed by a queue
+    (snapshooter.py:352-491)."""
+
+    def __init__(self, result_path: str, tb_subdir: str = "train"):
+        self.result_path = result_path
+        self.figure_dir = os.path.join(result_path, "figures")
+        os.makedirs(self.figure_dir, exist_ok=True)
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(
+                os.path.join(result_path, "tensorboard", tb_subdir))
+        except Exception:
+            pass
+        self.queue: "queue.Queue" = queue.Queue()
+        self._stop = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def snapshot(self, materials: Dict[str, List], step: int,
+                 plot_type: str = "curve"):
+        self.queue.put((plot_type, materials, step))
+
+    def _worker(self):
+        while True:
+            item = self.queue.get()
+            if item is self._stop:
+                break
+            try:
+                self._handle(*item)
+            except Exception:  # snapshot failures must never kill training
+                logging.getLogger(__name__).exception("snapshot failed")
+
+    def _handle(self, plot_type: str, materials: Dict, step: int):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for name, values in materials.items():
+            sub = os.path.join(self.figure_dir, name)
+            os.makedirs(sub, exist_ok=True)
+            if plot_type == "curve":
+                arr = np.asarray(values, dtype=float)
+                np.savetxt(os.path.join(sub, f"{name}.txt"), arr)
+                fig, ax = plt.subplots(figsize=(6, 4))
+                ax.plot(arr)
+                ax.set_title(name)
+                fig.savefig(os.path.join(sub, f"{name}.png"), dpi=80)
+                plt.close(fig)
+                if self._tb is not None:
+                    self._tb.add_scalar(name, float(arr[-1]), step)
+            elif plot_type == "matrix":
+                arr = np.asarray(values)
+                np.savez(os.path.join(sub, f"{name}_{step}.npz"), arr)
+                fig, ax = plt.subplots(figsize=(6, 4))
+                ax.imshow(arr, aspect="auto", origin="lower")
+                fig.savefig(os.path.join(sub, f"{name}_{step}.png"), dpi=80)
+                plt.close(fig)
+            elif plot_type == "hist":
+                arr = np.asarray(values, dtype=float)
+                fig, ax = plt.subplots(figsize=(6, 4))
+                ax.hist(arr, bins=50)
+                fig.savefig(os.path.join(sub, f"{name}_{step}.png"), dpi=80)
+                plt.close(fig)
+            elif plot_type == "text":
+                with open(os.path.join(sub, f"{name}.txt"), "a") as f:
+                    f.write(f"step {step}: {values}\n")
+
+    def wait_empty(self, timeout: float = 60.0):
+        t0 = time.time()
+        while not self.queue.empty() and time.time() - t0 < timeout:
+            time.sleep(0.05)
+
+    def close(self):
+        self.queue.put(self._stop)
+        self._thread.join(timeout=5)
+        if self._tb is not None:
+            self._tb.close()
+
+
+class TrainValidMonitor:
+    """Step/epoch bookkeeping for train+valid (monitor.py:368-1375)."""
+
+    def __init__(self, result_path: str, logger: Optional[logging.Logger]
+                 = None, report_per_steps: int = 100):
+        self.result_path = result_path
+        self.logger = logger or logging.getLogger(__name__)
+        self.report_per_steps = report_per_steps
+        self.shooter = SnapShooter(result_path)
+        self.step_records: Dict[str, List[float]] = defaultdict(list)
+        self.time_records: Dict[str, List[float]] = defaultdict(list)
+        self.epoch_records: Dict[str, Dict[str, List[float]]] = dict(
+            train=defaultdict(list), valid=defaultdict(list))
+        self.step = 0
+
+    @contextlib.contextmanager
+    def measure_time(self, name: str):
+        t0 = time.perf_counter()
+        yield
+        self.time_records[name].append(time.perf_counter() - t0)
+
+    def train_step(self, metrics: Dict[str, Any], lr: Optional[float] = None):
+        self.step += 1
+        for k, v in metrics.items():
+            self.step_records[k].append(float(v))
+        if lr is not None:
+            self.step_records["lr"].append(float(lr))
+        if self.step % self.report_per_steps == 0:
+            window = {k: np.mean(v[-self.report_per_steps:])
+                      for k, v in self.step_records.items()}
+            times = {k: np.mean(v[-self.report_per_steps:])
+                     for k, v in self.time_records.items()}
+            self.logger.info(
+                "step %d | %s | %s", self.step,
+                " ".join(f"{k}={v:.4f}" for k, v in window.items()),
+                " ".join(f"{k}={v * 1e3:.1f}ms" for k, v in times.items()))
+
+    def finish_train_epoch(self, epoch: int):
+        self._finish_epoch("train", epoch)
+
+    def valid_step(self, metrics: Dict[str, Any]):
+        for k, v in metrics.items():
+            self.step_records[f"valid_{k}"].append(float(v))
+
+    def finish_valid_epoch(self, epoch: int) -> Dict[str, float]:
+        return self._finish_epoch("valid", epoch)
+
+    def _finish_epoch(self, phase: str, epoch: int) -> Dict[str, float]:
+        prefix = "valid_" if phase == "valid" else ""
+        out = {}
+        keys = [k for k in self.step_records
+                if (k.startswith("valid_")) == (phase == "valid")]
+        for k in keys:
+            vals = self.step_records.pop(k)
+            mean, std = float(np.mean(vals)), float(np.std(vals))
+            name = k[len(prefix):] if prefix and k.startswith(prefix) else k
+            self.epoch_records[phase][name].append(mean)
+            out[name] = mean
+            self.logger.info("epoch %d %s %s: %.4f ± %.4f",
+                             epoch, phase, name, mean, std)
+            self.shooter.snapshot(
+                {f"{phase}_{name}": self.epoch_records[phase][name]}, epoch)
+        for k in list(self.time_records):
+            self.time_records.pop(k)
+        return out
+
+    def state_dict(self):
+        return dict(step=self.step,
+                    epoch_records={p: dict(r) for p, r in
+                                   self.epoch_records.items()})
+
+    def load_state_dict(self, d):
+        self.step = d["step"]
+        for p, recs in d["epoch_records"].items():
+            self.epoch_records[p] = defaultdict(list, recs)
+
+    def close(self):
+        self.shooter.wait_empty()
+        self.shooter.close()

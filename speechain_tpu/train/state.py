@@ -94,3 +94,195 @@ def make_arasr_step(net, cfg, tx, *, axis_name: Optional[str] = "data",
         return state, metrics
 
     return step_fn
+
+
+def _generic_train_step(net_apply_loss, tx, *, axis_name, train,
+                        weight_key="text_len"):
+    """Shared step skeleton: grad, pmean, optax update, metric averaging."""
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return net_apply_loss(params, state.mutables, batch, rng, train)
+
+        if train:
+            grads, (metrics, new_mut) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(state.step + 1, params, new_opt,
+                               {**state.mutables, **new_mut})
+        else:
+            _, (metrics, _) = loss_fn(state.params)
+        if axis_name is not None:
+            n = jnp.sum((batch[weight_key] > 0).astype(jnp.float32))
+            total = jax.lax.psum(n, axis_name)
+            metrics = {k: jax.lax.psum(v * n, axis_name) / total
+                       for k, v in metrics.items()}
+        return state, metrics
+
+    return step_fn
+
+
+def make_artts_step(net, cfg, tx, *, axis_name: Optional[str] = "data",
+                    train: bool = True) -> Callable:
+    """AR-TTS train/valid step (model/ar_tts.py criterion pipeline)."""
+    from speechain_tpu.models.ar_tts import artts_loss
+
+    mutable_keys = ("norm_stats", "batch_stats")
+
+    def apply_loss(params, mutables, batch, rng, is_train):
+        variables = {"params": params, **mutables}
+        mut = [k for k in mutable_keys if k in mutables] if is_train else []
+        epoch = batch.get("epoch", jnp.zeros((), jnp.int32))
+        kwargs = dict(train=is_train, epoch=epoch, axis_name=axis_name,
+                      spk_ids=batch.get("spk_ids"),
+                      spk_feat=batch.get("spk_feat"),
+                      rngs={"dropout": rng})
+        if mut:
+            outputs, new_mut = net.apply(
+                variables, batch["text"], batch["text_len"], batch["feat"],
+                batch["feat_len"], mutable=mut, **kwargs)
+        else:
+            outputs = net.apply(
+                variables, batch["text"], batch["text_len"], batch["feat"],
+                batch["feat_len"], **kwargs)
+            new_mut = {}
+        loss, metrics = artts_loss(outputs, cfg)
+        return loss, (metrics, dict(new_mut))
+
+    return _generic_train_step(apply_loss, tx, axis_name=axis_name,
+                               train=train)
+
+
+def make_fastspeech2_step(net, cfg, tx, *, axis_name: Optional[str] = "data",
+                          train: bool = True) -> Callable:
+    """FastSpeech2 train/valid step (model/nar_tts.py criterion pipeline).
+
+    batch needs text/text_len/feat/feat_len/pitch/pitch_len/duration/
+    duration_len (MFA teacher durations)."""
+    from speechain_tpu.models.nar_tts import fastspeech2_loss
+
+    mutable_keys = ("norm_stats", "batch_stats")
+
+    def apply_loss(params, mutables, batch, rng, is_train):
+        variables = {"params": params, **mutables}
+        mut = [k for k in mutable_keys if k in mutables] if is_train else []
+        epoch = batch.get("epoch", jnp.zeros((), jnp.int32))
+        kwargs = dict(train=is_train, epoch=epoch, axis_name=axis_name,
+                      spk_ids=batch.get("spk_ids"),
+                      spk_feat=batch.get("spk_feat"),
+                      rngs={"dropout": rng})
+        args = (batch["text"], batch["text_len"], batch["feat"],
+                batch["feat_len"], batch["pitch"], batch["pitch_len"],
+                batch["duration"], batch["duration_len"])
+        if mut:
+            outputs, new_mut = net.apply(variables, *args, mutable=mut,
+                                         **kwargs)
+        else:
+            outputs = net.apply(variables, *args, **kwargs)
+            new_mut = {}
+        loss, metrics = fastspeech2_loss(outputs, batch["duration"], cfg)
+        return loss, (metrics, dict(new_mut))
+
+    return _generic_train_step(apply_loss, tx, axis_name=axis_name,
+                               train=train)
+
+
+def make_lm_step(net, tx, *, label_smoothing: float = 0.0,
+                 axis_name: Optional[str] = "data",
+                 train: bool = True) -> Callable:
+    """LM train/valid step (model/lm.py)."""
+    from speechain_tpu.models.lm import lm_loss
+
+    def apply_loss(params, mutables, batch, rng, is_train):
+        variables = {"params": params, **mutables}
+        logits, _, _ = net.apply(variables, batch["text"],
+                                 batch["text_len"], train=is_train,
+                                 rngs={"dropout": rng})
+        loss, metrics = lm_loss(logits, batch["text"], batch["text_len"],
+                                label_smoothing=label_smoothing)
+        return loss, (metrics, {})
+
+    return _generic_train_step(apply_loss, tx, axis_name=axis_name,
+                               train=train)
+
+
+def make_multi_domain_arasr_step(net, cfg, tx, *,
+                                 loss_weights: Optional[Dict[str, float]]
+                                 = None,
+                                 axis_name: Optional[str] = "data",
+                                 train: bool = True) -> Callable:
+    """Multi-dataloader semi-supervised ASR step
+    (MultiDataLoaderARASR, model/ar_asr.py:1044-1276).
+
+    batch is a dict of named domain sub-batches ({'real': {...},
+    'syn': {...}}); each domain runs its own forward/loss, the total loss is
+    the loss_weights-weighted sum (normalized by the weight sum,
+    ar_asr.py:1249-1276), one optimizer step updates on the combined grads.
+    """
+    from speechain_tpu.models.ar_asr import arasr_loss
+
+    mutable_keys = ("norm_stats", "batch_stats")
+
+    def step_fn(state: TrainState, batches: Dict[str, Dict[str, Array]],
+                rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        rng = jax.random.fold_in(rng, state.step)
+        domains = sorted(batches.keys())
+        weights = {d: float((loss_weights or {}).get(d, 1.0))
+                   for d in domains}
+        w_sum = sum(weights.values())
+
+        def loss_fn(params):
+            mutables = dict(state.mutables)
+            total = 0.0
+            metrics: Dict[str, Array] = {}
+            for i, d in enumerate(domains):
+                b = batches[d]
+                k_drop, k_spec = jax.random.split(
+                    jax.random.fold_in(rng, i))
+                variables = {"params": params, **mutables}
+                mut = [k for k in mutable_keys if k in mutables] \
+                    if train else []
+                epoch = b.get("epoch", jnp.zeros((), jnp.int32))
+                if mut:
+                    outputs, new_mut = net.apply(
+                        variables, b["feat"], b["feat_len"], b["text"],
+                        b["text_len"], train=train, epoch=epoch,
+                        axis_name=axis_name,
+                        rngs={"dropout": k_drop, "specaug": k_spec},
+                        mutable=mut)
+                    mutables.update(dict(new_mut))
+                else:
+                    outputs = net.apply(
+                        variables, b["feat"], b["feat_len"], b["text"],
+                        b["text_len"], train=train, epoch=epoch,
+                        axis_name=axis_name,
+                        rngs={"dropout": k_drop, "specaug": k_spec})
+                d_loss, d_metrics = arasr_loss(outputs, b["text"],
+                                               b["text_len"], cfg)
+                total = total + weights[d] * d_loss
+                metrics.update({f"{d}_{k}": v for k, v in d_metrics.items()})
+            total = total / w_sum
+            metrics["loss"] = total
+            return total, (metrics, mutables)
+
+        if train:
+            grads, (metrics, new_mut) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(state.step + 1, params, new_opt, new_mut)
+        else:
+            _, (metrics, _) = loss_fn(state.params)
+        if axis_name is not None:
+            metrics = {k: jax.lax.pmean(v, axis_name)
+                       for k, v in metrics.items()}
+        return state, metrics
+
+    return step_fn

@@ -1,0 +1,84 @@
+"""Markdown + idx2-file evaluation reports.
+
+Rebuild of reference ``monitor.py:1672-1853`` (idx2{metric} dumps,
+overall_results.md with group tables, top-N bad cases, metric histograms)
+and ``utilbox/md_util.py`` table builders.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+
+def md_table(headers: Sequence[str], rows: Sequence[Sequence]) -> str:
+    """GitHub-style markdown table (md_util.py:13-76)."""
+    out = ["|" + "|".join(str(h) for h in headers) + "|",
+           "|" + "|".join("---" for _ in headers) + "|"]
+    for row in rows:
+        out.append("|" + "|".join(str(c) for c in row) + "|")
+    return "\n".join(out)
+
+
+def write_idx2_file(data: Dict[str, object], path: str):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        for idx, value in data.items():
+            f.write(f"{idx} {value}\n")
+
+
+def topn_bad_cases(idx2metric: Dict[str, float], n: int = 10,
+                   mode: str = "max") -> List:
+    """Top-N worst utterances by a metric (monitor.py:1812-1837)."""
+    items = sorted(idx2metric.items(), key=lambda kv: kv[1],
+                   reverse=(mode == "max"))
+    return items[:n]
+
+
+def write_test_reports(out_dir: str, *, idx2hypo: Dict[str, str],
+                       idx2cer: Dict[str, float],
+                       idx2wer: Dict[str, float],
+                       summary: Dict[str, float],
+                       group_info: Optional[Dict[str, Dict[str, str]]] = None,
+                       topn: int = 10):
+    """Write the reference-style test artifact tree:
+
+    out_dir/
+      idx2hypo_text, idx2cer, idx2wer   (monitor.py:1672-1690 layout)
+      overall_results.md                (:1730-1810)
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    write_idx2_file(idx2hypo, os.path.join(out_dir, "idx2hypo_text"))
+    write_idx2_file({k: f"{v:.4f}" for k, v in idx2cer.items()},
+                    os.path.join(out_dir, "idx2cer"))
+    write_idx2_file({k: f"{v:.4f}" for k, v in idx2wer.items()},
+                    os.path.join(out_dir, "idx2wer"))
+
+    lines = ["# Overall results", ""]
+    lines.append(md_table(["metric", "value"],
+                          [[k, f"{v:.4f}"] for k, v in summary.items()]))
+    lines.append("")
+
+    if group_info:
+        for gname, idx2group in group_info.items():
+            groups: Dict[str, List[str]] = {}
+            for idx, g in idx2group.items():
+                if idx in idx2wer:
+                    groups.setdefault(g, []).append(idx)
+            rows = []
+            for g, idxs in sorted(groups.items()):
+                rows.append([
+                    g, len(idxs),
+                    f"{sum(idx2cer[i] for i in idxs) / len(idxs):.4f}",
+                    f"{sum(idx2wer[i] for i in idxs) / len(idxs):.4f}"])
+            lines.append(f"## Results by {gname}")
+            lines.append(md_table([gname, "#utts", "cer", "wer"], rows))
+            lines.append("")
+
+    lines.append(f"## Top-{topn} bad cases (by WER)")
+    rows = [[idx, f"{wer:.4f}", idx2hypo.get(idx, "")]
+            for idx, wer in topn_bad_cases(idx2wer, topn)]
+    lines.append(md_table(["idx", "wer", "hypothesis"], rows))
+    with open(os.path.join(out_dir, "overall_results.md"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
