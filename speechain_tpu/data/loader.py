@@ -82,12 +82,17 @@ def collate_speech_text(samples: List[Dict[str, Any]],
         out["raw_spk_ids"] = [s["spk_ids"] for s in samples]
     if "pitch" in samples[0]:
         ps = [s["pitch"].reshape(-1) for s in samples]
-        T = out["feat"].shape[1] if "feat" in out else bucket_len(
-            max(len(p) for p in ps), time_bucket, time_bucket)
+        # pitch is at the mel frame rate; share the feat time axis only when
+        # feat is itself a frame-level feature (not a raw waveform)
+        feat_is_frames = "feat" in out and out["feat"].shape[-1] > 1
+        T = out["feat"].shape[1] if feat_is_frames else bucket_len(
+            max(len(p) for p in ps), 64, 64)
         pitch = np.zeros((B_pad, T), np.float32)
+        pitch_len = np.zeros((B_pad,), np.int32)
         for i, p in enumerate(ps):
             pitch[i, :min(len(p), T)] = p[:T]
-        out["pitch"] = pitch
+            pitch_len[i] = min(len(p), T)
+        out["pitch"], out["pitch_len"] = pitch, pitch_len
     if "duration" in samples[0]:
         ds = [s["duration"] for s in samples]
         L = out["text"].shape[1] if "text" in out else bucket_len(

@@ -244,15 +244,19 @@ class ARTTSNet(nn.Module):
         """Postnet residual over a (possibly partial) sequence."""
         return pred_before + self.postnet(pred_before, train=False)
 
-    def recover_feat(self, feat: Array,
-                     group_ids: Optional[Array] = None) -> Array:
-        """Denormalize + reduction-ungroup predicted features for vocoding
-        (ar_tts.py:888-890)."""
+    def recover_feat(self, feat: Array, group_ids: Optional[Array] = None,
+                     ungroup: bool = False) -> Array:
+        """Denormalize predicted features for vocoding (ar_tts.py:888-890).
+
+        ungroup=True additionally unfolds the reduction-factor grouping —
+        only for features still in the grouped (T/r, D*r) layout;
+        ``tts_auto_regression`` outputs are already unfolded
+        (tts_decoding.py:119-126)."""
         c = self.cfg
-        r = c.reduction_factor
-        if r > 1:
+        if ungroup and c.reduction_factor > 1:
             B, T, D = feat.shape
-            feat = feat.reshape(B, T * r, D // r)
+            feat = feat.reshape(B, T * c.reduction_factor,
+                                D // c.reduction_factor)
         if c.feat_norm is not None:
             feat = self.feat_norm_mod.recover(feat, group_ids=group_ids)
         return feat

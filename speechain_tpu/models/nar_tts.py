@@ -326,13 +326,15 @@ class FastSpeech2Net(nn.Module):
             pred_duration_gate=pred_gate, used_duration=used_duration,
             tgt_duration_len=enc_len)
 
-    def recover_feat(self, feat: Array,
-                     group_ids: Optional[Array] = None) -> Array:
+    def recover_feat(self, feat: Array, group_ids: Optional[Array] = None,
+                     ungroup: bool = True) -> Array:
+        """FastSpeech2 predictions stay in the grouped layout, so the
+        default unfolds before denormalizing."""
         c = self.cfg
-        r = c.reduction_factor
-        if r > 1:
+        if ungroup and c.reduction_factor > 1:
             B, T, D = feat.shape
-            feat = feat.reshape(B, T * r, D // r)
+            feat = feat.reshape(B, T * c.reduction_factor,
+                                D // c.reduction_factor)
         if c.feat_norm is not None:
             feat = self.feat_norm_mod.recover(feat, group_ids=group_ids)
         return feat

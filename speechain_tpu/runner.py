@@ -66,6 +66,63 @@ DEFAULTS = dict(seed=0, num_epochs=100, valid_per_epochs=1,
                 last_model_num=1, best_model_num=5)
 
 
+# model families share a train-loop skeleton but differ in init args,
+# batch keys and step factories
+FAMILY_BATCH_KEYS = {
+    "asr": ("feat", "feat_len", "text", "text_len"),
+    "lm": ("text", "text_len"),
+    "artts": ("text", "text_len", "feat", "feat_len", "spk_feat"),
+    "fastspeech2": ("text", "text_len", "feat", "feat_len", "pitch",
+                    "pitch_len", "duration", "duration_len", "spk_feat"),
+}
+
+
+def model_family(mtype: str) -> str:
+    t = mtype.lower()
+    if "nar_tts" in t or "fastspeech" in t:
+        return "fastspeech2"
+    if "ar_tts" in t or "artts" in t:
+        return "artts"
+    if t == "lm" or t.startswith("lm."):
+        return "lm"
+    return "asr"
+
+
+def family_init_args(family: str, b):
+    import jax.numpy as jnp
+    a = lambda k: jnp.asarray(b[k])
+    if family == "asr":
+        return (a("feat"), a("feat_len"), a("text"), a("text_len")), {}
+    if family == "lm":
+        return (a("text"), a("text_len")), {}
+    if family == "artts":
+        return (a("text"), a("text_len"), a("feat"), a("feat_len")), {}
+    if family == "fastspeech2":
+        pitch_len = b.get("pitch_len")
+        if pitch_len is None and "pitch" in b:
+            pitch_len = b["feat_len"]
+        return (a("text"), a("text_len"), a("feat"), a("feat_len"),
+                a("pitch"), jnp.asarray(pitch_len), a("duration"),
+                a("duration_len")), {}
+    raise ValueError(family)
+
+
+def family_step_factory(family: str):
+    from speechain_tpu.train import state as S
+    if family == "asr":
+        return lambda net, cfg, tx, **kw: S.make_arasr_step(
+            net, cfg, tx, **kw)
+    if family == "lm":
+        return lambda net, cfg, tx, **kw: S.make_lm_step(net, tx, **kw)
+    if family == "artts":
+        return lambda net, cfg, tx, **kw: S.make_artts_step(
+            net, cfg, tx, **kw)
+    if family == "fastspeech2":
+        return lambda net, cfg, tx, **kw: S.make_fastspeech2_step(
+            net, cfg, tx, **kw)
+    raise ValueError(family)
+
+
 def merge_config(args) -> Dict[str, Any]:
     """CLI > exp_cfg yaml > defaults (runner.py:2045-2091)."""
     from speechain_tpu.utils.yamlref import load_yaml
@@ -118,13 +175,12 @@ def train_main(cfg: Dict, args):
     import jax.numpy as jnp
 
     from speechain_tpu.builders import build_model, build_tokenizer
-    from speechain_tpu.models.ar_asr import ARASRConfig
     from speechain_tpu.parallel.mesh import make_mesh, train_step_under_mesh
     from speechain_tpu.train.checkpoint import (BestModelTracker,
                                                 CheckpointManager)
     from speechain_tpu.train.monitor import TrainValidMonitor, setup_logger
     from speechain_tpu.train.optim import build_optimizers
-    from speechain_tpu.train.state import init_train_state, make_arasr_step
+    from speechain_tpu.train.state import init_train_state
 
     result_path = cfg["result_path"]
     os.makedirs(result_path, exist_ok=True)
@@ -138,10 +194,7 @@ def train_main(cfg: Dict, args):
                                 customize.get("token_path"))
     dtype = jnp.bfloat16 if cfg["use_bf16"] else jnp.float32
     net, net_cfg, mtype = build_model(model_cfg, tokenizer.vocab_size, dtype)
-    if not isinstance(net_cfg, ARASRConfig):
-        raise NotImplementedError(
-            "the CLI train loop currently drives ASR/LM-style models; TTS "
-            "training via CLI lands with the recipe suite")
+    family = model_family(mtype)
 
     loaders = {}
     for split in ("train", "valid"):
@@ -153,11 +206,15 @@ def train_main(cfg: Dict, args):
     # ---- model + optimizer + mesh --------------------------------------
     rng = jax.random.PRNGKey(seed)
     first_batch = next(loaders["train"].epoch(0))
+    if isinstance(first_batch, dict) and all(
+            isinstance(v, dict) for v in first_batch.values()) \
+            and "feat" not in first_batch:
+        # multi-domain: initialize from the first named stream
+        first_batch = next(iter(first_batch.values()))
+    init_args, init_kwargs = family_init_args(family, first_batch)
     variables = net.init(
         {"params": rng, "dropout": rng, "specaug": rng},
-        jnp.asarray(first_batch["feat"]), jnp.asarray(first_batch["feat_len"]),
-        jnp.asarray(first_batch["text"]), jnp.asarray(first_batch["text_len"]),
-        train=False)
+        *init_args, train=False, **init_kwargs)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(
         variables["params"]))
     logger.info("model %s: %.2fM parameters", mtype, n_params / 1e6)
@@ -171,11 +228,27 @@ def train_main(cfg: Dict, args):
 
     n_dev = args.n_devices or len(jax.devices())
     mesh = make_mesh(n_data=n_dev)
-    jtrain = train_step_under_mesh(
-        make_arasr_step(net, net_cfg, tx, axis_name="data"), mesh)
-    jvalid = train_step_under_mesh(
-        make_arasr_step(net, net_cfg, tx, axis_name="data", train=False),
-        mesh, donate_state=False)
+    from speechain_tpu.data.loader import MultiLoader
+    multi_domain = isinstance(loaders["train"], MultiLoader)
+    if multi_domain:
+        from speechain_tpu.train.state import make_multi_domain_arasr_step
+        loss_weights = cfg["train_cfg"].get("loss_weights") \
+            or cfg.get("loss_weights")
+        jtrain = train_step_under_mesh(
+            make_multi_domain_arasr_step(
+                net, net_cfg, tx, loss_weights=loss_weights,
+                axis_name="data", train=True), mesh)
+        from speechain_tpu.train.state import make_arasr_step
+        jvalid = train_step_under_mesh(
+            make_arasr_step(net, net_cfg, tx, axis_name="data",
+                            train=False), mesh, donate_state=False)
+    else:
+        mk_step = family_step_factory(family)
+        jtrain = train_step_under_mesh(
+            mk_step(net, net_cfg, tx, axis_name="data", train=True), mesh)
+        jvalid = train_step_under_mesh(
+            mk_step(net, net_cfg, tx, axis_name="data", train=False),
+            mesh, donate_state=False)
 
     ckpt = CheckpointManager(result_path)
     tracker = BestModelTracker(
@@ -195,10 +268,15 @@ def train_main(cfg: Dict, args):
                 tracker.load_state_dict(meta["tracker"])
         logger.info("resumed from epoch %d", start_epoch - 1)
 
-    def to_device_batch(b):
-        return dict(
-            feat=jnp.asarray(b["feat"]), feat_len=jnp.asarray(b["feat_len"]),
-            text=jnp.asarray(b["text"]), text_len=jnp.asarray(b["text_len"]))
+    def to_device_batch(b, _epoch=None):
+        if multi_domain and all(isinstance(v, dict) for v in b.values()):
+            return {name: to_device_batch(sub, _epoch)
+                    for name, sub in b.items()}
+        out = {k: jnp.asarray(v) for k, v in b.items()
+               if k in FAMILY_BATCH_KEYS[family] and v is not None}
+        if _epoch is not None:
+            out["epoch"] = jnp.asarray(_epoch, jnp.int32)
+        return out
 
     for epoch in range(start_epoch, cfg["num_epochs"] + 1):
         ep_rng = jax.random.fold_in(rng, epoch)
@@ -207,8 +285,7 @@ def train_main(cfg: Dict, args):
             with monitor.measure_time("step_time"):
                 if args.dry_run:
                     continue
-                db = to_device_batch(batch)
-                db["epoch"] = jnp.asarray(epoch, jnp.int32)
+                db = to_device_batch(batch, epoch)
                 if args.no_optim:
                     _, metrics = jvalid(state, db, ep_rng)
                 else:
@@ -218,8 +295,7 @@ def train_main(cfg: Dict, args):
 
         if epoch % cfg["valid_per_epochs"] == 0 and not args.dry_run:
             for batch in loaders["valid"].epoch(epoch):
-                db = to_device_batch(batch)
-                db["epoch"] = jnp.asarray(epoch, jnp.int32)
+                db = to_device_batch(batch, epoch)
                 _, metrics = jvalid(state, db, ep_rng)
                 monitor.valid_step(metrics)
             valid_summary = monitor.finish_valid_epoch(epoch)

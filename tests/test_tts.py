@@ -61,9 +61,10 @@ def test_artts_forward_loss_grads():
     assert out["pred_after"].shape == out["tgt_feat"].shape
     assert out["pred_after"].shape[-1] == 40  # n_mels * reduction
     assert np.isfinite(float(loss))
-    # recovery inverts reduction grouping + normalization
+    # recovery inverts reduction grouping + normalization (training-layout
+    # predictions need ungroup=True; AR-decoded outputs are pre-unfolded)
     rec = net.apply({**variables, **muts}, out["pred_after"], spk_ids,
-                    method=net.recover_feat)
+                    ungroup=True, method=net.recover_feat)
     assert rec.shape == (B, out["pred_after"].shape[1] * 2, 20)
 
 
