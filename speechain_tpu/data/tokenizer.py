@@ -78,7 +78,11 @@ class CharTokenizer(Tokenizer):
         ids: List[int] = []
         if not no_sos:
             ids.append(self.sos_eos_idx)
-        ids.extend(self.token2idx.get(ch, self.unk_idx) for ch in text)
+        for ch in text:
+            if ch == " " and self.space_idx is not None:
+                ids.append(self.space_idx)
+            else:
+                ids.append(self.token2idx.get(ch, self.unk_idx))
         if not no_eos:
             ids.append(self.sos_eos_idx)
         return np.asarray(ids, dtype=np.int32)
@@ -99,6 +103,7 @@ class SubwordTokenizer(Tokenizer):
                           **conf):
         self._backend = None
         self._sp = None
+        self._sp_native = None
         candidates = []
         if model_path is not None:
             candidates.append(model_path)
@@ -117,7 +122,11 @@ class SubwordTokenizer(Tokenizer):
                 self._sp = spm.SentencePieceProcessor(model_file=cand)
                 return
             except ImportError:
-                continue
+                # reference-compatible fallback: parse the .model protobuf
+                # directly (data/sp_model.py)
+                from speechain_tpu.data.sp_model import SentencePieceModel
+                self._sp_native = SentencePieceModel.load(cand)
+                return
         raise FileNotFoundError(
             f"no usable subword model found among {candidates}; train one "
             "with speechain_tpu.data.tokenizer.train_subword_tokenizer")
@@ -126,8 +135,10 @@ class SubwordTokenizer(Tokenizer):
                     no_eos: bool = False) -> np.ndarray:
         if self._backend is not None:
             pieces = self._backend.encode(text).tokens
-        else:
+        elif self._sp is not None:
             pieces = self._sp.encode(text, out_type=str)
+        else:
+            pieces = self._sp_native.encode_pieces(text)
         ids: List[int] = []
         if not no_sos:
             ids.append(self.sos_eos_idx)

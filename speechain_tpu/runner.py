@@ -300,6 +300,28 @@ def train_main(cfg: Dict, args):
                 monitor.valid_step(metrics)
             valid_summary = monitor.finish_valid_epoch(epoch)
 
+            # attention-heatmap visualization snapshot every N epochs
+            # (reference model.visualize branch, model/ar_asr.py:602-727)
+            vis_every = int(cfg.get("visual_snapshot_interval", 5) or 0)
+            if family == "asr" and vis_every and epoch % vis_every == 0:
+                try:
+                    vb = next(loaders["valid"].epoch(epoch))
+                    dvb = to_device_batch(vb, epoch)
+                    outputs = net.apply(
+                        {"params": state.params, **state.mutables},
+                        dvb["feat"][:1], dvb["feat_len"][:1],
+                        dvb["text"][:1], dvb["text_len"][:1],
+                        train=False, return_att=True,
+                        rngs={"dropout": ep_rng, "specaug": ep_rng})
+                    att = outputs.get("dec_cross_att")
+                    if att:
+                        monitor.shooter.snapshot(
+                            {"cross_att_layer0_head0":
+                             np.asarray(att[0][0, 0])},
+                            epoch, plot_type="matrix")
+                except Exception:
+                    logger.exception("visualization snapshot failed")
+
             ckpt.save_epoch_model(epoch, state.params, state.mutables)
             decision = tracker.update(epoch, valid_summary)
             ckpt.prune_epochs(decision["keep"])
@@ -370,8 +392,23 @@ def test_main(cfg: Dict, args):
                             batch_bucket=args.batch_bucket,
                             time_bucket=args.time_bucket,
                             token_bucket=args.token_bucket)
+        out_dir = os.path.join(result_path, name, set_name)
+        progress_path = os.path.join(out_dir, "tmp_progress.json")
         idx2hypo, idx2cer, idx2wer = {}, {}, {}
+        if os.path.exists(progress_path):
+            # resumable evaluation (runner.py:1540-1548 per-rank
+            # checkpoints): skip already-decoded utterances
+            with open(progress_path) as f:
+                saved = json.load(f)
+            idx2hypo, idx2cer, idx2wer = (saved["hypo"], saved["cer"],
+                                          saved["wer"])
+            logger.info("resuming evaluation: %d utterances done",
+                        len(idx2hypo))
+        done = set(idx2hypo)
+        steps_since_save = 0
         for batch in loader.epoch(0):
+            if all(idx in done for idx in batch["indices"]):
+                continue
             out = asr_beam_search(
                 net, variables, jnp.asarray(batch["feat"]),
                 jnp.asarray(batch["feat_len"]),
@@ -388,10 +425,19 @@ def test_main(cfg: Dict, args):
             for i, idx in enumerate(batch["indices"]):
                 idx2hypo[idx], idx2cer[idx], idx2wer[idx] = \
                     hyps[i], cers[i], wers[i]
+            steps_since_save += 1
+            if steps_since_save >= 10:
+                os.makedirs(out_dir, exist_ok=True)
+                with open(progress_path, "w") as f:
+                    json.dump(dict(hypo=idx2hypo, cer=idx2cer,
+                                   wer=idx2wer), f)
+                steps_since_save = 0
+        if os.path.exists(progress_path):
+            os.remove(progress_path)
         summary = dict(cer=float(np.mean(list(idx2cer.values()))),
                        wer=float(np.mean(list(idx2wer.values()))))
         logger.info("%s: %s", set_name, summary)
-        write_test_reports(os.path.join(result_path, name, set_name),
+        write_test_reports(out_dir,
                            idx2hypo=idx2hypo, idx2cer=idx2cer,
                            idx2wer=idx2wer, summary=summary)
         all_results[set_name] = summary

@@ -1,0 +1,86 @@
+"""Checkpoint manager, best-model tracker, report writers, monitor."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from speechain_tpu.train.checkpoint import BestModelTracker, CheckpointManager
+from speechain_tpu.train.monitor import TrainValidMonitor
+from speechain_tpu.utils.reports import (
+    md_table,
+    topn_bad_cases,
+    write_test_reports,
+)
+
+
+def test_best_model_tracker_selection_and_early_stop():
+    tr = BestModelTracker(rules=[("loss", "min", 2)], last_n=1,
+                          early_stopping_patience=2)
+    d1 = tr.update(1, {"loss": 5.0})
+    d2 = tr.update(2, {"loss": 4.0})
+    d3 = tr.update(3, {"loss": 4.5})
+    # keep: 2 best (epochs 2,3 by loss -> 2 and 1? loss 4.0,4.5 best two)
+    assert 2 in d3["keep"] and 3 in d3["keep"]
+    assert not d3["early_stop"]
+    d4 = tr.update(4, {"loss": 4.6})
+    assert d4["early_stop"]  # 2 epochs without improvement
+
+
+def test_tracker_state_roundtrip():
+    tr = BestModelTracker(rules=[("loss", "min", 3)])
+    tr.update(1, {"loss": 2.0})
+    tr.update(2, {"loss": 1.0})
+    sd = tr.state_dict()
+    tr2 = BestModelTracker(rules=[("loss", "min", 3)])
+    tr2.load_state_dict(sd)
+    d = tr2.update(3, {"loss": 1.5})
+    assert set(d["keep"]) >= {2, 3}
+
+
+def test_checkpoint_epoch_models_and_averaging(tmp_path):
+    cm = CheckpointManager(str(tmp_path))
+    template = {"params": {"w": np.zeros((2, 2), np.float32)}}
+    for e, val in [(1, 1.0), (2, 3.0)]:
+        cm.save_epoch_model(e, {"w": np.full((2, 2), val, np.float32)})
+    avg = cm.average_models([1, 2], template)
+    np.testing.assert_allclose(avg["w"], 2.0)
+    cm.prune_epochs(keep=[2])
+    assert not os.path.exists(os.path.join(cm.models_dir, "epoch_1"))
+    assert os.path.exists(os.path.join(cm.models_dir, "epoch_2"))
+
+
+def test_write_test_reports_with_groups(tmp_path):
+    out = str(tmp_path / "rep")
+    idx2hypo = {"a": "hello", "b": "worl", "c": "foo"}
+    idx2cer = {"a": 0.0, "b": 0.2, "c": 1.0}
+    idx2wer = {"a": 0.0, "b": 1.0, "c": 1.0}
+    groups = {"speaker": {"a": "spk1", "b": "spk1", "c": "spk2"}}
+    write_test_reports(out, idx2hypo=idx2hypo, idx2cer=idx2cer,
+                       idx2wer=idx2wer, summary=dict(wer=0.66, cer=0.4),
+                       group_info=groups, topn=2)
+    md = open(os.path.join(out, "overall_results.md")).read()
+    assert "Results by speaker" in md and "spk1" in md
+    assert "Top-2 bad cases" in md
+    assert open(os.path.join(out, "idx2hypo_text")).read().startswith(
+        "a hello")
+
+
+def test_topn_and_md_table():
+    top = topn_bad_cases({"a": 0.1, "b": 0.9, "c": 0.5}, n=2)
+    assert [k for k, _ in top] == ["b", "c"]
+    t = md_table(["x", "y"], [[1, 2]])
+    assert t.splitlines()[2] == "|1|2|"
+
+
+def test_monitor_epoch_summary(tmp_path):
+    mon = TrainValidMonitor(str(tmp_path), report_per_steps=2)
+    for i in range(4):
+        mon.train_step({"loss": float(i)})
+    mon.finish_train_epoch(1)
+    mon.valid_step({"loss": 1.5})
+    summary = mon.finish_valid_epoch(1)
+    assert abs(summary["loss"] - 1.5) < 1e-6
+    sd = mon.state_dict()
+    assert sd["epoch_records"]["train"]["loss"] == [1.5]  # mean of 0..3
+    mon.close()
