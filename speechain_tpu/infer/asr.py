@@ -144,3 +144,37 @@ def asr_beam_search(
 def asr_greedy_decode(net, variables, feat, feat_len, **kw):
     """Greedy = beam size 1 (teacher-free)."""
     return asr_beam_search(net, variables, feat, feat_len, beam_size=1, **kw)
+
+
+def asr_teacher_forcing(net, variables, feat: Array, feat_len: Array,
+                        text: Array, text_len: Array, *,
+                        temperature: float = 1.0) -> Dict[str, Array]:
+    """Teacher-forced scoring pass (model/ar_asr.py:874-921): run the decoder
+    on the ground-truth text and report per-utterance confidence
+    (length-normalized sum of target-token log-probs) and the
+    feature-to-token length ratio — the chain recipes use these to filter
+    pseudo-labeled data."""
+    base = {k: v for k, v in variables.items() if k != "cache"}
+    enc_feat, enc_feat_len, enc_mask, _ = net.apply(
+        base, feat, feat_len, train=False, method=net.encode)
+    logits, *_ = net.apply(base, enc_feat, enc_mask, text, text_len,
+                           method=net.decode)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, -1)
+    tgt = text[:, 1:]
+    lp = jnp.take_along_axis(logp[:, :tgt.shape[1]], tgt[..., None],
+                             -1)[..., 0]
+    L = tgt.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    mask = pos < (text_len - 1)[:, None]
+    lp = jnp.where(mask, lp, 0.0)
+    n = jnp.maximum((text_len - 1).astype(jnp.float32), 1.0)
+    confid = jnp.sum(lp, -1) / n
+    hypo = jnp.argmax(logits, -1)
+    hypo = jnp.where(mask, hypo, 0)
+    return dict(
+        hypo_text=hypo,
+        hypo_text_len=jnp.maximum(text_len - 2, 0),
+        hypo_text_confid=confid,
+        feat_token_len_ratio=enc_feat_len.astype(jnp.float32)
+        / (jnp.maximum(text_len - 2, 1).astype(jnp.float32)),
+    )

@@ -53,6 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--last_model_num", type=int, default=None)
     p.add_argument("--best_model_num", type=int, default=None)
     p.add_argument("--test_model", type=str, default=None)
+    p.add_argument("--ignore_train_exception", action="store_true",
+                   help="skip steps that raise (e.g. device OOM) instead of "
+                        "aborting the epoch (runner.py:1079-1092)")
+    p.add_argument("--ignore_test_exception", action="store_true",
+                   help="skip evaluation batches that raise "
+                        "(runner.py:1521-1531)")
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--batch_bucket", type=int, default=8)
     p.add_argument("--time_bucket", type=int, default=None)
@@ -286,10 +292,17 @@ def train_main(cfg: Dict, args):
                 if args.dry_run:
                     continue
                 db = to_device_batch(batch, epoch)
-                if args.no_optim:
-                    _, metrics = jvalid(state, db, ep_rng)
-                else:
-                    state, metrics = jtrain(state, db, ep_rng)
+                try:
+                    if args.no_optim:
+                        _, metrics = jvalid(state, db, ep_rng)
+                    else:
+                        state, metrics = jtrain(state, db, ep_rng)
+                except Exception:
+                    # step-level fault tolerance (runner.py:1079-1092)
+                    if not args.ignore_train_exception:
+                        raise
+                    logger.exception("step skipped after exception")
+                    continue
             monitor.train_step(metrics)
         monitor.finish_train_epoch(epoch)
 
@@ -409,13 +422,21 @@ def test_main(cfg: Dict, args):
         for batch in loader.epoch(0):
             if all(idx in done for idx in batch["indices"]):
                 continue
-            out = asr_beam_search(
-                net, variables, jnp.asarray(batch["feat"]),
-                jnp.asarray(batch["feat_len"]),
-                beam_size=int(infer_cfg.get("beam_size", 4)),
-                temperature=float(infer_cfg.get("temperature", 1.0)),
-                ctc_weight=float(infer_cfg.get("ctc_weight", 0.0)),
-                length_penalty=float(infer_cfg.get("length_penalty", 1.0)))
+            try:
+                out = asr_beam_search(
+                    net, variables, jnp.asarray(batch["feat"]),
+                    jnp.asarray(batch["feat_len"]),
+                    beam_size=int(infer_cfg.get("beam_size", 4)),
+                    temperature=float(infer_cfg.get("temperature", 1.0)),
+                    ctc_weight=float(infer_cfg.get("ctc_weight", 0.0)),
+                    length_penalty=float(infer_cfg.get("length_penalty",
+                                                       1.0)))
+            except Exception:
+                # batch-level fault tolerance (runner.py:1521-1531)
+                if not getattr(args, "ignore_test_exception", False):
+                    raise
+                logger.exception("evaluation batch skipped after exception")
+                continue
             n = batch["n_real"]
             hyps = [tokenizer.tensor2text(
                 np.asarray(out["hypo_text"][i][:int(out["hypo_text_len"][i])]))
