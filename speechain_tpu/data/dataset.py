@@ -174,11 +174,44 @@ class SpeechTextDataset(Dataset):
 
     def dataset_init_fn(self, use_speed_perturb: bool = False,
                         perturb_range: Sequence[float] = (0.9, 1.0, 1.1),
-                        sample_rate: int = 16000, **conf):
+                        sample_rate: int = 16000,
+                        unk_mask_prob: float = 0.0,
+                        use_g2p: bool = False,
+                        lexicon_path: Optional[str] = None, **conf):
         self.use_speed_perturb = use_speed_perturb
         self.perturb_range = list(perturb_range)
         self.sample_rate = sample_rate
+        # word-level <unk> masking for robust-ASR training
+        # (speech_text.py:447-498)
+        self.unk_mask_prob = float(unk_mask_prob)
+        # on-the-fly G2P of raw text (speech_text.py:83,336-342)
+        self.use_g2p = use_g2p
+        self._g2p = None
+        if use_g2p and lexicon_path:
+            from speechain_tpu.data.tokenizer import (
+                GraphemeToPhonemeTokenizer)
+            # lexicon-only usage: bypass vocab loading
+            g = GraphemeToPhonemeTokenizer.__new__(
+                GraphemeToPhonemeTokenizer)
+            g.lexicon = {}
+            g.tokenizer_init_fn(lexicon_path=lexicon_path)
+            self._g2p = g
         self._rng = random.Random(0)
+
+    def _maybe_downsample(self, wave: np.ndarray, src_sr: int) -> np.ndarray:
+        """On-the-fly downsampling when the file's rate exceeds the
+        configured one (speech_text.py:279-293)."""
+        if src_sr is None or src_sr <= self.sample_rate:
+            return wave
+        from speechain_tpu.pyscripts.wave_downsampler import resample
+        return resample(wave, src_sr, self.sample_rate)
+
+    def _apply_unk_mask(self, text: str) -> str:
+        """Randomly replace whole words by <unk> (speech_text.py:447-498)."""
+        words = text.split()
+        out = [("<unk>" if self._rng.random() < self.unk_mask_prob else w)
+               for w in words]
+        return " ".join(out)
 
     def set_epoch_seed(self, seed: int):
         self._rng = random.Random(seed)
@@ -200,14 +233,25 @@ class SpeechTextDataset(Dataset):
         out: Dict[str, Any] = {}
         for name, value in main_data.items():
             if name == "wav":
-                wave = load_data_by_path(value).astype(np.float32)
+                from speechain_tpu.utils.fileio import read_data_by_path
+                wave, src_sr = read_data_by_path(value,
+                                                 return_sample_rate=True)
+                wave = np.asarray(wave, np.float32).reshape(-1)
+                wave = self._maybe_downsample(wave, src_sr)
                 if self.use_speed_perturb:
                     wave = self._speed_perturb(wave)
-                out["feat"] = wave[:, None] if wave.ndim == 1 else wave
+                out["feat"] = wave[:, None]
             elif name == "feat":
                 out["feat"] = load_data_by_path(value).astype(np.float32)
             elif name == "text":
-                out["text"] = value
+                text = value
+                if self.use_g2p and self._g2p is not None \
+                        and not text.strip().startswith("["):
+                    text = "[" + ", ".join(
+                        f"'{p}'" for p in self._g2p.g2p(text)) + "]"
+                if self.unk_mask_prob > 0.0:
+                    text = self._apply_unk_mask(text)
+                out["text"] = text
             elif name == "spk_ids":
                 out["spk_ids"] = value
             elif name == "spk_feat":

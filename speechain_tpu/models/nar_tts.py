@@ -340,6 +340,27 @@ class FastSpeech2Net(nn.Module):
         return feat
 
 
+def generate_ctrl_alpha(key, batch_size: int, token_len: int, *,
+                        alpha: Optional[float] = None,
+                        alpha_min: float = 0.8, alpha_max: float = 1.2,
+                        granularity: str = "utterance") -> Array:
+    """Controllable-TTS alpha generation (model/nar_tts.py:706-785).
+
+    Returns a (B, L) multiplier for duration/pitch/energy: a fixed value,
+    or random per-utterance / per-token draws in [alpha_min, alpha_max].
+    """
+    if alpha is not None:
+        return jnp.full((batch_size, token_len), float(alpha))
+    if granularity == "utterance":
+        a = jax.random.uniform(key, (batch_size, 1),
+                               minval=alpha_min, maxval=alpha_max)
+        return jnp.broadcast_to(a, (batch_size, token_len))
+    if granularity == "token":
+        return jax.random.uniform(key, (batch_size, token_len),
+                                  minval=alpha_min, maxval=alpha_max)
+    raise ValueError(granularity)
+
+
 def fastspeech2_loss(outputs: Dict[str, Array], tgt_duration: Array,
                      cfg: FastSpeech2Config,
                      reduction_factor: Optional[int] = None

@@ -151,6 +151,25 @@ def merge_config(args) -> Dict[str, Any]:
     return merged
 
 
+def expand_infer_cfg(infer_cfg) -> Dict[str, Dict]:
+    """infer_cfg grammar (reference runner.py:1323-1403): a flat dict is one
+    unnamed run; {shared_args, exclu_args: [dict, ...]} expands into one
+    named run per exclusive-arg combination; a dict of named dicts runs
+    each as-is."""
+    if not infer_cfg:
+        return {"": {}}
+    if "exclu_args" in infer_cfg:
+        shared = dict(infer_cfg.get("shared_args", {}))
+        runs = {}
+        for combo in infer_cfg["exclu_args"]:
+            name = "_".join(f"{k}={v}" for k, v in sorted(combo.items()))
+            runs[name] = {**shared, **combo}
+        return runs
+    if all(isinstance(v, dict) for v in infer_cfg.values()) and infer_cfg:
+        return {str(k): dict(v) for k, v in infer_cfg.items()}
+    return {"": dict(infer_cfg)}
+
+
 def build_data(data_cfg: Dict, split: str, tokenizer, *, batch_bucket=8,
                time_bucket=None, token_bucket=16, num_workers=4):
     """data_cfg[split] -> EpochLoader or MultiLoader (runner.py:549-659)."""
@@ -305,6 +324,7 @@ def train_main(cfg: Dict, args):
                     continue
             monitor.train_step(metrics)
         monitor.finish_train_epoch(epoch)
+        monitor.log_device_memory()
 
         if epoch % cfg["valid_per_epochs"] == 0 and not args.dry_run:
             for batch in loaders["valid"].epoch(epoch):
@@ -396,16 +416,18 @@ def test_main(cfg: Dict, args):
                 os.path.join(result_path, "models", name), None)
         variables = dict(payload)
 
-    infer_cfg = cfg.get("infer_cfg") or {}
+    infer_runs = expand_infer_cfg(cfg.get("infer_cfg") or {})
     test_loaders = {k: v for k, v in cfg["data_cfg"].items()
                     if k not in ("train", "valid")}
     all_results = {}
-    for set_name in (test_loaders or {"valid": None}):
+    for run_name, infer_cfg in infer_runs.items():
+      for set_name in (test_loaders or {"valid": None}):
         loader = build_data(cfg["data_cfg"], set_name, tokenizer,
                             batch_bucket=args.batch_bucket,
                             time_bucket=args.time_bucket,
                             token_bucket=args.token_bucket)
-        out_dir = os.path.join(result_path, name, set_name)
+        out_dir = os.path.join(result_path, name,
+                               *( [run_name] if run_name else [] ), set_name)
         progress_path = os.path.join(out_dir, "tmp_progress.json")
         idx2hypo, idx2cer, idx2wer = {}, {}, {}
         if os.path.exists(progress_path):
@@ -461,7 +483,8 @@ def test_main(cfg: Dict, args):
         write_test_reports(out_dir,
                            idx2hypo=idx2hypo, idx2cer=idx2cer,
                            idx2wer=idx2wer, summary=summary)
-        all_results[set_name] = summary
+        all_results[f"{run_name}/{set_name}" if run_name
+                    else set_name] = summary
     return all_results
 
 

@@ -174,6 +174,19 @@ class TrainValidMonitor:
     def finish_valid_epoch(self, epoch: int) -> Dict[str, float]:
         return self._finish_epoch("valid", epoch)
 
+    def log_device_memory(self):
+        """Device memory snapshot (SURVEY §5.1: the reference samples GPU
+        memory with GPUtil per epoch; TPU equivalent is memory_stats)."""
+        try:
+            import jax
+            stats = jax.local_devices()[0].memory_stats() or {}
+            used = stats.get("bytes_in_use", 0) / 2 ** 30
+            peak = stats.get("peak_bytes_in_use", 0) / 2 ** 30
+            self.logger.info("device memory: %.2f GiB in use, %.2f GiB peak",
+                             used, peak)
+        except Exception:
+            pass
+
     def _finish_epoch(self, phase: str, epoch: int) -> Dict[str, float]:
         prefix = "valid_" if phase == "valid" else ""
         out = {}

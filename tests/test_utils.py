@@ -96,3 +96,30 @@ def test_registry():
     assert resolve("dummy.Dummy") is Dummy
     with pytest.raises(KeyError):
         resolve("not.registered.at.all.Nope")
+
+
+def test_infer_cfg_expansion():
+    from speechain_tpu.runner import expand_infer_cfg
+
+    assert expand_infer_cfg({}) == {"": {}}
+    flat = expand_infer_cfg({"beam_size": 4})
+    assert flat == {"": {"beam_size": 4}}
+    prod = expand_infer_cfg({
+        "shared_args": {"beam_size": 16},
+        "exclu_args": [{"ctc_weight": 0.2}, {"ctc_weight": 0.3}]})
+    assert prod["ctc_weight=0.2"]["beam_size"] == 16
+    assert len(prod) == 2
+
+
+def test_dataset_unk_mask_and_g2p_passthrough(tmp_path):
+    from speechain_tpu.data.dataset import SpeechTextDataset
+
+    ds = SpeechTextDataset(main_data={"text": {"a": "hello world"}},
+                           unk_mask_prob=1.0)
+    assert ds["a"]["text"] == "<unk> <unk>"
+
+    lex = tmp_path / "lexicon"
+    lex.write_text("hello HH AH0\nworld W ER1 LD\n")
+    ds2 = SpeechTextDataset(main_data={"text": {"a": "hello world"}},
+                            use_g2p=True, lexicon_path=str(lex))
+    assert ds2["a"]["text"] == "['HH', 'AH0', '<space>', 'W', 'ER1', 'LD']"
