@@ -398,6 +398,7 @@ def test_main(cfg: Dict, args):
     tokenizer = build_tokenizer(customize.get("token_type", "char"),
                                 customize.get("token_path"))
     net, net_cfg, mtype = build_model(model_cfg, tokenizer.vocab_size)
+    family = model_family(mtype)
 
     ckpt = CheckpointManager(result_path)
     state_template = None  # restored payload is a dict of arrays
@@ -415,6 +416,13 @@ def test_main(cfg: Dict, args):
             payload = ocp.StandardCheckpointer().restore(
                 os.path.join(result_path, "models", name), None)
         variables = dict(payload)
+
+    if family in ("artts", "fastspeech2"):
+        return tts_test_main(cfg, args, net, net_cfg, tokenizer, variables,
+                             name, logger)
+    if family == "lm":
+        return lm_test_main(cfg, args, net, tokenizer, variables, name,
+                            logger)
 
     infer_runs = expand_infer_cfg(cfg.get("infer_cfg") or {})
     test_loaders = {k: v for k, v in cfg["data_cfg"].items()
@@ -485,6 +493,139 @@ def test_main(cfg: Dict, args):
                            idx2wer=idx2wer, summary=summary)
         all_results[f"{run_name}/{set_name}" if run_name
                     else set_name] = summary
+    return all_results
+
+
+def tts_test_main(cfg, args, net, net_cfg, tokenizer, variables, name,
+                  logger):
+    """TTS evaluation: synthesize the test sets, write wavs, score MCD /
+    log-F0 RMSE against the reference audio (recipes/tts flow:
+    tts_evaluation.py + feat_to_wav)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechain_tpu.infer.tts_decoding import tts_auto_regression
+    from speechain_tpu.models.ar_tts import ARTTSConfig
+    from speechain_tpu.ops.griffin_lim import logmel_to_wave
+    from speechain_tpu.utils.fileio import write_idx2data_file, write_wav
+    from speechain_tpu.utils.reports import md_table, write_idx2_file
+    from speechain_tpu.utils.tts_eval import log_f0_rmse, mcd
+
+    infer_cfg = next(iter(expand_infer_cfg(
+        cfg.get("infer_cfg") or {}).values()))
+    is_ar = isinstance(net_cfg, ARTTSConfig)
+    result_path = cfg["result_path"]
+    test_sets = {k: v for k, v in cfg["data_cfg"].items()
+                 if k not in ("train", "valid")} or {"valid": None}
+    all_results = {}
+    for set_name in test_sets:
+        loader = build_data(cfg["data_cfg"], set_name, tokenizer,
+                            batch_bucket=args.batch_bucket,
+                            time_bucket=args.time_bucket,
+                            token_bucket=args.token_bucket)
+        out_dir = os.path.join(result_path, name, set_name)
+        wav_dir = os.path.join(out_dir, "wav")
+        os.makedirs(wav_dir, exist_ok=True)
+        idx2wav, idx2mcd, idx2f0 = {}, {}, {}
+        for batch in loader.epoch(0):
+            n = batch["n_real"]
+            text = jnp.asarray(batch["text"])
+            text_len = jnp.asarray(batch["text_len"])
+            if is_ar:
+                out = tts_auto_regression(
+                    net, variables, text, text_len,
+                    spk_feat=(jnp.asarray(batch["spk_feat"])
+                              if "spk_feat" in batch else None),
+                    stop_threshold=float(infer_cfg.get("stop_threshold",
+                                                       0.5)),
+                    maxlen_ratio=float(infer_cfg.get("maxlen_ratio", 10.0)))
+                feat, feat_len = out["hypo_feat"], out["hypo_feat_len"]
+                feat = net.apply(variables, feat, method=net.recover_feat)
+            else:
+                fs_out = net.apply(
+                    variables, text, text_len,
+                    spk_feat=(jnp.asarray(batch["spk_feat"])
+                              if "spk_feat" in batch else None),
+                    train=False, max_frames=int(infer_cfg.get(
+                        "max_frames", 1024)),
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+                feat, feat_len = fs_out["pred_after"], fs_out["pred_feat_len"]
+                feat = net.apply(variables, feat, method=net.recover_feat)
+            wave, wave_len = logmel_to_wave(
+                feat, feat_len, net_cfg.frontend,
+                n_iter=int(infer_cfg.get("gl_iters", 32)))
+            for i in range(n):
+                idx = batch["indices"][i]
+                nlen = int(wave_len[i])
+                path = os.path.join(wav_dir, f"{idx}.wav")
+                write_wav(path, np.asarray(wave[i][:nlen]),
+                          net_cfg.frontend.sr)
+                idx2wav[idx] = path
+                # objective scores vs the reference audio when present
+                if "feat" in batch:
+                    ref = np.asarray(batch["feat"][i][
+                        :int(batch["feat_len"][i])]).reshape(-1)
+                    hyp = np.asarray(wave[i][:nlen])
+                    try:
+                        idx2mcd[idx] = mcd(hyp, ref, net_cfg.frontend.sr)
+                        f0 = log_f0_rmse(hyp, ref, net_cfg.frontend.sr)
+                        if f0 is not None:
+                            idx2f0[idx] = f0
+                    except Exception:
+                        logger.exception("tts scoring failed for %s", idx)
+        write_idx2data_file(idx2wav, os.path.join(out_dir, "idx2wav"))
+        summary = {}
+        if idx2mcd:
+            summary["mcd"] = float(np.mean(list(idx2mcd.values())))
+            write_idx2_file({k: f"{v:.3f}" for k, v in idx2mcd.items()},
+                            os.path.join(out_dir, "idx2mcd"))
+        if idx2f0:
+            summary["log_f0_rmse"] = float(np.mean(list(idx2f0.values())))
+            write_idx2_file({k: f"{v:.3f}" for k, v in idx2f0.items()},
+                            os.path.join(out_dir, "idx2log_f0_rmse"))
+        with open(os.path.join(out_dir, "overall_results.md"), "w") as f:
+            f.write("# TTS results\n\n" + md_table(
+                ["metric", "value"],
+                [[k, f"{v:.4f}"] for k, v in summary.items()]) + "\n")
+        logger.info("%s: synthesized %d utts %s", set_name, len(idx2wav),
+                    summary)
+        all_results[set_name] = summary
+    return all_results
+
+
+def lm_test_main(cfg, args, net, tokenizer, variables, name, logger):
+    """LM evaluation: test-set perplexity (model/lm.py test flow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechain_tpu.models.lm import lm_loss
+    from speechain_tpu.utils.reports import md_table
+
+    result_path = cfg["result_path"]
+    test_sets = {k: v for k, v in cfg["data_cfg"].items()
+                 if k not in ("train", "valid")} or {"valid": None}
+    all_results = {}
+    for set_name in test_sets:
+        loader = build_data(cfg["data_cfg"], set_name, tokenizer,
+                            batch_bucket=args.batch_bucket,
+                            time_bucket=args.time_bucket,
+                            token_bucket=args.token_bucket)
+        ppls, weights = [], []
+        for batch in loader.epoch(0):
+            text = jnp.asarray(batch["text"])
+            text_len = jnp.asarray(batch["text_len"])
+            logits, _, _ = net.apply(variables, text, text_len, train=False)
+            _, metrics = lm_loss(logits, text, text_len)
+            ppls.append(float(metrics["text_ppl"]))
+            weights.append(batch["n_real"])
+        ppl = float(np.average(ppls, weights=weights)) if ppls else None
+        out_dir = os.path.join(result_path, name, set_name)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "overall_results.md"), "w") as f:
+            f.write("# LM results\n\n" + md_table(
+                ["metric", "value"], [["text_ppl", f"{ppl:.4f}"]]) + "\n")
+        logger.info("%s: text_ppl=%.4f", set_name, ppl)
+        all_results[set_name] = dict(text_ppl=ppl)
     return all_results
 
 
