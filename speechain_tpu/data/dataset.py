@@ -177,13 +177,16 @@ class SpeechTextDataset(Dataset):
                         sample_rate: int = 16000,
                         unk_mask_prob: float = 0.0,
                         use_g2p: bool = False,
-                        lexicon_path: Optional[str] = None, **conf):
+                        lexicon_path: Optional[str] = None,
+                        remove_sil: bool = False, **conf):
         self.use_speed_perturb = use_speed_perturb
         self.perturb_range = list(perturb_range)
         self.sample_rate = sample_rate
         # word-level <unk> masking for robust-ASR training
         # (speech_text.py:447-498)
         self.unk_mask_prob = float(unk_mask_prob)
+        # trim <space>-marked silence at both ends (speech_text.py:371-445)
+        self.remove_sil = remove_sil
         # on-the-fly G2P of raw text (speech_text.py:83,336-342)
         self.use_g2p = use_g2p
         self._g2p = None
@@ -212,6 +215,42 @@ class SpeechTextDataset(Dataset):
         out = [("<unk>" if self._rng.random() < self.unk_mask_prob else w)
                for w in words]
         return " ".join(out)
+
+    @staticmethod
+    def _trim_silence(sample: Dict[str, Any]) -> Dict[str, Any]:
+        """Trim leading/trailing <space> phonemes plus the proportional
+        audio/pitch span (speech_text.py:371-445). Requires list-format
+        phoneme text and durations."""
+        text = sample.get("text")
+        if not (isinstance(text, str) and text.strip().startswith("[")):
+            return sample
+        from speechain_tpu.data.tokenizer import GraphemeToPhonemeTokenizer
+        phonemes = GraphemeToPhonemeTokenizer.parse_phoneme_list(text)
+        dur = sample.get("duration")
+        if phonemes is None or dur is None or len(phonemes) != len(dur):
+            return sample
+        if phonemes[0] != "<space>" and phonemes[-1] != "<space>":
+            return sample
+        total = float(np.sum(dur))
+        front = tail = 0.0
+        while phonemes and phonemes[0] == "<space>":
+            front += float(dur[0])
+            phonemes, dur = phonemes[1:], dur[1:]
+        while phonemes and phonemes[-1] == "<space>":
+            tail += float(dur[-1])
+            phonemes, dur = phonemes[:-1], dur[:-1]
+        if not phonemes:
+            return sample
+        sample["text"] = "[" + ", ".join(f"'{p}'" for p in phonemes) + "]"
+        sample["duration"] = np.asarray(dur, np.float32)
+        f_frac, t_frac = front / total, tail / total
+        for key in ("feat", "pitch"):
+            if key in sample:
+                arr = sample[key]
+                a = int(f_frac * len(arr))
+                b = int(t_frac * len(arr))
+                sample[key] = arr[a: len(arr) - b if b else len(arr)]
+        return sample
 
     def set_epoch_seed(self, seed: int):
         self._rng = random.Random(seed)
@@ -263,6 +302,8 @@ class SpeechTextDataset(Dataset):
                     [float(d) for d in str(value).split()], dtype=np.float32)
             else:
                 out[name] = value
+        if self.remove_sil:
+            out = self._trim_silence(out)
         return out
 
 

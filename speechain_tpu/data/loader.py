@@ -159,6 +159,32 @@ class EpochLoader:
         return len(self.iterator)
 
 
+def device_prefetch(batch_iter, convert, depth: int = 2):
+    """Overlap host->device transfer with device compute: convert (e.g.
+    jax.device_put) up to ``depth`` batches ahead of the consumer.
+
+    jax transfers are asynchronous, so converting ahead keeps the copy
+    engine busy while the previous step computes (the TPU replacement for
+    the reference's DataLoader worker prefetch, iterator/abs.py:428-439).
+    """
+    import collections
+
+    queue_: "collections.deque" = collections.deque()
+    it = iter(batch_iter)
+    try:
+        for _ in range(depth):
+            queue_.append(convert(next(it)))
+    except StopIteration:
+        pass
+    while queue_:
+        out = queue_.popleft()
+        try:
+            queue_.append(convert(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class MultiLoader:
     """Named multi-stream zipping (the reference's multi-dataloader batches,
     runner.py:918-975): yields {name: batch_dict}, length = min over

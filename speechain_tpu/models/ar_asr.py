@@ -41,7 +41,7 @@ from speechain_tpu.ops.feat_norm import (
     apply_feat_norm,
     init_stats,
 )
-from speechain_tpu.ops.frontend import FrontendConfig, dft_filterbank, hann_window, mel_filterbank, _frontend_impl
+from speechain_tpu.ops.frontend import FrontendConfig, compute_logmel
 from speechain_tpu.ops.specaug import SpecAugmentConfig, spec_augment
 from speechain_tpu.train import criteria
 from speechain_tpu.utils.masks import make_mask_from_len
@@ -67,15 +67,10 @@ class ASRFrontend(nn.Module):
                  axis_name: Optional[str] = None):
         cfg = self.frontend
         if feat.ndim == 3 and feat.shape[-1] == 1:
-            # raw waveform -> log-Mel (encoder/asr.py:102-109)
+            # raw waveform -> log-Mel (encoder/asr.py:102-109); fused Pallas
+            # kernel on TPU, XLA pipeline elsewhere
             wave = feat[..., 0].astype(jnp.float32)
-            basis = jnp.asarray(dft_filterbank(
-                cfg.fft, hann_window(cfg.win), cfg.onesided, cfg.normalized))
-            mel_fb = jnp.asarray(mel_filterbank(
-                cfg.n_freqs, cfg.n_mels, cfg.sr, cfg.fmin, cfg.fmax,
-                cfg.mel_scale, cfg.mel_norm))
-            feat, feat_len, _, _ = _frontend_impl(
-                wave, feat_len, basis, mel_fb, cfg)
+            feat, feat_len, _, _ = compute_logmel(wave, feat_len, cfg)
         if self.feat_norm is not None:
             stats = self.variable("norm_stats", "stats",
                                   lambda: init_stats(self.feat_norm))

@@ -38,13 +38,22 @@ TILE_T = 128  # frames per program
 def _logmel_kernel(frames_ref, basis_ref, mel_ref, out_ref, *,
                    n_freq: int, clamp: float, log_base, mag_spec: bool,
                    logging: bool):
-    spec = jnp.dot(frames_ref[...], basis_ref[...],
-                   preferred_element_type=jnp.float32)
+    # fp32-exact contract: force full-precision MXU passes (the default
+    # decomposes fp32 into bf16 passes and breaks the <1e-4 log-Mel bound)
+    spec = jax.lax.dot_general(
+        frames_ref[...], basis_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     re, im = spec[:, :n_freq], spec[:, n_freq:]
     power = re * re + im * im
     if mag_spec:
         power = jnp.sqrt(power)
-    mel = jnp.dot(power, mel_ref[...], preferred_element_type=jnp.float32)
+    mel = jax.lax.dot_general(
+        power, mel_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     if logging:
         mel = jnp.log(jnp.maximum(mel, clamp))
         if log_base is not None:

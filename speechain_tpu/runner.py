@@ -306,11 +306,14 @@ def train_main(cfg: Dict, args):
     for epoch in range(start_epoch, cfg["num_epochs"] + 1):
         ep_rng = jax.random.fold_in(rng, epoch)
         t_ep = time.time()
-        for batch in loaders["train"].epoch(epoch):
+        from speechain_tpu.data.loader import device_prefetch
+        train_iter = (loaders["train"].epoch(epoch) if args.dry_run else
+                      device_prefetch(loaders["train"].epoch(epoch),
+                                      lambda b: to_device_batch(b, epoch)))
+        for db in train_iter:
             with monitor.measure_time("step_time"):
                 if args.dry_run:
                     continue
-                db = to_device_batch(batch, epoch)
                 try:
                     if args.no_optim:
                         _, metrics = jvalid(state, db, ep_rng)

@@ -206,3 +206,29 @@ def test_feat_norm_group_fallback_to_average():
     out, _, _ = apply_feat_norm(st, feat, flen, cfg, train=False,
                                 group_ids=jnp.array([3, 3, 3, 3]))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv1dev_padding_modes():
+    from speechain_tpu.nn.prenets import Conv1dEv
+
+    x = jax.random.normal(RNG, (1, 10, 4))
+    for mode, want_len in [("same", 10), ("valid", 8), ("full", 12),
+                           ("causal", 10)]:
+        conv = Conv1dEv(out_channels=6, kernel_size=3, padding_mode=mode)
+        v = conv.init(RNG, x)
+        out = conv.apply(v, x)
+        assert out.shape == (1, want_len, 6), (mode, out.shape)
+
+    # causal: output at t must not depend on inputs after t
+    conv = Conv1dEv(out_channels=2, kernel_size=3, padding_mode="causal")
+    v = conv.init(RNG, x)
+    o1 = conv.apply(v, x)
+    x2 = x.at[:, 6:].set(0.0)
+    o2 = conv.apply(v, x2)
+    np.testing.assert_allclose(np.asarray(o1[:, :6]), np.asarray(o2[:, :6]),
+                               atol=1e-6)
+
+    # even kernel 'same' keeps length
+    conv = Conv1dEv(out_channels=2, kernel_size=4, padding_mode="same")
+    v = conv.init(RNG, x)
+    assert conv.apply(v, x).shape[1] == 10

@@ -123,3 +123,16 @@ def test_dataset_unk_mask_and_g2p_passthrough(tmp_path):
     ds2 = SpeechTextDataset(main_data={"text": {"a": "hello world"}},
                             use_g2p=True, lexicon_path=str(lex))
     assert ds2["a"]["text"] == "['HH', 'AH0', '<space>', 'W', 'ER1', 'LD']"
+
+
+def test_dataset_silence_trimming():
+    import numpy as np
+    from speechain_tpu.data.dataset import SpeechTextDataset
+
+    ds = SpeechTextDataset(
+        main_data={"text": {"a": "['<space>', 'HH', 'AH0', '<space>']"},
+                   "duration": {"a": "10 20 30 40"}},
+        remove_sil=True)
+    s = ds["a"]
+    assert s["text"] == "['HH', 'AH0']"
+    assert list(s["duration"]) == [20.0, 30.0]
