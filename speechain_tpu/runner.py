@@ -63,6 +63,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_bucket", type=int, default=8)
     p.add_argument("--time_bucket", type=int, default=None)
     p.add_argument("--token_bucket", type=int, default=16)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="host loader worker threads (reference DataLoader "
+                        "num_workers)")
     return p.parse_args(argv)
 
 
@@ -226,7 +229,8 @@ def train_main(cfg: Dict, args):
         loaders[split] = build_data(
             cfg["data_cfg"], split, tokenizer,
             batch_bucket=args.batch_bucket,
-            time_bucket=args.time_bucket, token_bucket=args.token_bucket)
+            time_bucket=args.time_bucket, token_bucket=args.token_bucket,
+            num_workers=getattr(args, "num_workers", 4))
 
     # ---- model + optimizer + mesh --------------------------------------
     rng = jax.random.PRNGKey(seed)
