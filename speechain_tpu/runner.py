@@ -198,6 +198,43 @@ def build_data(data_cfg: Dict, split: str, tokenizer, *, batch_bucket=8,
     return MultiLoader({name: one(s) for name, s in spec.items()})
 
 
+def load_pretrained(variables: Dict, spec: Dict, logger) -> Dict:
+    """Merge a pretrained checkpoint into freshly-initialized variables.
+
+    spec: {path: <orbax dir>, mapping: {old_prefix: new_prefix}, strict:
+    bool} (model/abs.py:171-234 semantics: mapping renames source keys;
+    strict requires every loaded leaf to find a matching target).
+    """
+    import flax
+    import orbax.checkpoint as ocp
+
+    from speechain_tpu.pyscripts.model_para_renamer import rename_tree
+
+    payload = ocp.StandardCheckpointer().restore(
+        os.path.abspath(spec["path"]), None)
+    src_params = payload.get("params", payload)
+    if spec.get("mapping"):
+        src_params = rename_tree(src_params, spec["mapping"])
+    flat_src = flax.traverse_util.flatten_dict(src_params)
+    flat_dst = flax.traverse_util.flatten_dict(variables["params"])
+    loaded, skipped = 0, []
+    for path, leaf in flat_src.items():
+        if path in flat_dst and flat_dst[path].shape == leaf.shape:
+            flat_dst[path] = leaf
+            loaded += 1
+        else:
+            skipped.append("/".join(map(str, path)))
+    if skipped and spec.get("strict", True):
+        raise KeyError(f"pretrained keys without a target: {skipped[:10]}")
+    if skipped:
+        logger.warning("pretrained: skipped %d unmatched keys", len(skipped))
+    logger.info("pretrained: loaded %d tensors from %s", loaded,
+                spec["path"])
+    variables = dict(variables)
+    variables["params"] = flax.traverse_util.unflatten_dict(flat_dst)
+    return variables
+
+
 def train_main(cfg: Dict, args):
     import jax
     import jax.numpy as jnp
@@ -247,6 +284,14 @@ def train_main(cfg: Dict, args):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(
         variables["params"]))
     logger.info("model %s: %.2fM parameters", mtype, n_params / 1e6)
+
+    # pretrained-model loading with key mapping (model/abs.py:171-234)
+    pretrained = (model_cfg.get("model_conf", {}) or {}).get(
+        "pretrained_model") or []
+    if isinstance(pretrained, dict):
+        pretrained = [pretrained]
+    for spec in pretrained:
+        variables = load_pretrained(variables, spec, logger)
 
     steps_per_epoch = max(len(loaders["train"]), 1)
     tx = build_optimizers(cfg["train_cfg"].get("optim_sches", {}),
