@@ -42,6 +42,16 @@ def build_tokenizer(token_type: str, token_path: str, **conf) -> Tokenizer:
     return TOKENIZERS[token_type](token_path=token_path, **conf)
 
 
+def build_spk2idx(spk_list_path: Optional[str]) -> Optional[Dict[str, int]]:
+    """Speaker list file -> {speaker: id} with 0 reserved for unknown
+    (model/ar_tts.py:156-171 spk_list -> spk2idx)."""
+    if not spk_list_path:
+        return None
+    with open(spk_list_path, "r", encoding="utf-8") as f:
+        speakers = [line.strip() for line in f if line.strip()]
+    return {spk: i + 1 for i, spk in enumerate(speakers)}
+
+
 def _conf(block: Optional[Dict]) -> Dict[str, Any]:
     if block is None:
         return {}
@@ -107,6 +117,18 @@ def build_arasr(module_conf: Dict, vocab_size: int,
     return ARASRNet(cfg=cfg), cfg
 
 
+def _spk_emb_conf(module_conf: Dict, customize_conf: Dict) -> Optional[Dict]:
+    """spk_emb conf with spk_num auto-sized from customize_conf.spk_list
+    (+1 for the unknown-speaker slot, model/ar_tts.py:156-171)."""
+    conf = _conf(module_conf.get("spk_emb")) or None
+    spk_list = (customize_conf or {}).get("spk_list")
+    if spk_list:
+        conf = dict(conf or {})
+        spk2idx = build_spk2idx(spk_list)
+        conf.setdefault("spk_num", len(spk2idx) + 1)
+    return conf
+
+
 def build_artts(module_conf: Dict, vocab_size: int,
                 customize_conf: Optional[Dict] = None,
                 dtype=jnp.float32) -> Tuple[ARTTSNet, ARTTSConfig]:
@@ -138,7 +160,7 @@ def build_artts(module_conf: Dict, vocab_size: int,
         decoder=dec_conf,
         postnet=_conf(module_conf.get("postnet")
                       or dec_block.get("postnet")),
-        spk_emb=_conf(module_conf.get("spk_emb")) or None,
+        spk_emb=_spk_emb_conf(module_conf, customize_conf),
         stop_pos_weight=float(customize_conf.get("stop_pos_weight", 5.0)),
         feat_loss_type=customize_conf.get("feat_loss_type", "L2"),
         att_guid_sigma=float(customize_conf.get("att_guid_sigma", 0.0)),
@@ -175,7 +197,7 @@ def build_fastspeech2(module_conf: Dict, vocab_size: int,
         energy_predictor=_conf(module_conf.get("energy_predictor")),
         decoder=_conf(module_conf.get("decoder")),
         postnet=_conf(module_conf.get("postnet")),
-        spk_emb=_conf(module_conf.get("spk_emb")) or None,
+        spk_emb=_spk_emb_conf(module_conf, customize_conf),
         feat_loss_type=customize_conf.get("feat_loss_type", "L1"),
         dtype=dtype,
     )

@@ -39,7 +39,9 @@ def collate_speech_text(samples: List[Dict[str, Any]],
                         token_bucket: int = 16,
                         batch_bucket: int = 8,
                         text_no_sos: bool = False,
-                        text_no_eos: bool = False) -> Dict[str, np.ndarray]:
+                        text_no_eos: bool = False,
+                        spk2idx: Optional[Dict[str, int]] = None
+                        ) -> Dict[str, np.ndarray]:
     """Pad a list of samples into one static-shaped batch dict.
 
     feat time axis rounds up to a multiple of ``time_bucket`` (raw waveforms:
@@ -80,6 +82,13 @@ def collate_speech_text(samples: List[Dict[str, Any]],
         out["spk_feat"] = pad_to(sf, B_pad, axis=0)
     if "spk_ids" in samples[0]:
         out["raw_spk_ids"] = [s["spk_ids"] for s in samples]
+        if spk2idx is not None:
+            # close-set lookup table ids (SpeakerEmbedPrenet spk_num path;
+            # reference model/ar_tts.py:156-171 spk_list -> spk2idx)
+            ids = np.zeros((B_pad,), np.int32)
+            for i, s in enumerate(samples):
+                ids[i] = spk2idx.get(str(s["spk_ids"]), 0)
+            out["spk_ids"] = ids
     if "pitch" in samples[0]:
         ps = [s["pitch"].reshape(-1) for s in samples]
         # pitch is at the mel frame rate; share the feat time axis only when

@@ -174,7 +174,8 @@ def expand_infer_cfg(infer_cfg) -> Dict[str, Dict]:
 
 
 def build_data(data_cfg: Dict, split: str, tokenizer, *, batch_bucket=8,
-               time_bucket=None, token_bucket=16, num_workers=4):
+               time_bucket=None, token_bucket=16, num_workers=4,
+               spk2idx=None):
     """data_cfg[split] -> EpochLoader or MultiLoader (runner.py:549-659)."""
     from speechain_tpu.data.loader import (EpochLoader, MultiLoader,
                                            collate_speech_text)
@@ -190,7 +191,7 @@ def build_data(data_cfg: Dict, split: str, tokenizer, *, batch_bucket=8,
         it = it_cls(**conf)
         collate = partial(collate_speech_text, tokenizer=tokenizer,
                           time_bucket=tb, token_bucket=token_bucket,
-                          batch_bucket=batch_bucket)
+                          batch_bucket=batch_bucket, spk2idx=spk2idx)
         return EpochLoader(it, collate, num_workers=num_workers)
 
     if "type" in spec:
@@ -239,7 +240,8 @@ def train_main(cfg: Dict, args):
     import jax
     import jax.numpy as jnp
 
-    from speechain_tpu.builders import build_model, build_tokenizer
+    from speechain_tpu.builders import (build_model, build_spk2idx,
+                                        build_tokenizer)
     from speechain_tpu.parallel.mesh import make_mesh, train_step_under_mesh
     from speechain_tpu.train.checkpoint import (BestModelTracker,
                                                 CheckpointManager)
@@ -267,7 +269,8 @@ def train_main(cfg: Dict, args):
             cfg["data_cfg"], split, tokenizer,
             batch_bucket=args.batch_bucket,
             time_bucket=args.time_bucket, token_bucket=args.token_bucket,
-            num_workers=getattr(args, "num_workers", 4))
+            num_workers=getattr(args, "num_workers", 4),
+            spk2idx=build_spk2idx(customize.get("spk_list")))
 
     # ---- model + optimizer + mesh --------------------------------------
     rng = jax.random.PRNGKey(seed)
@@ -435,7 +438,8 @@ def test_main(cfg: Dict, args):
     import jax
     import jax.numpy as jnp
 
-    from speechain_tpu.builders import build_model, build_tokenizer
+    from speechain_tpu.builders import (build_model, build_spk2idx,
+                                        build_tokenizer)
     from speechain_tpu.infer.asr import asr_beam_search
     from speechain_tpu.train.checkpoint import CheckpointManager
     from speechain_tpu.train.monitor import setup_logger
