@@ -81,10 +81,14 @@ def synthesize_main(argv=None):
     items = list(idx2text.items())
     idx2wav, idx2wav_len, idx2ref = {}, {}, {}
     rng = jax.random.PRNGKey(0)
+    synth = None
     for start in range(0, len(items), args.batch_size):
         chunk = items[start:start + args.batch_size]
         ids = [tokenizer.text2tensor(t) for _, t in chunk]
-        L = max(len(t) for t in ids)
+        from speechain_tpu.data.iterator import bucket_len
+        # bucket the token axis so the jitted synthesizer compiles once
+        # per length bucket instead of once per batch
+        L = bucket_len(max(len(t) for t in ids), 16, 16)
         text = np.full((len(chunk), L), tokenizer.ignore_idx, np.int32)
         text_len = np.zeros((len(chunk),), np.int32)
         for i, t in enumerate(ids):
@@ -101,9 +105,12 @@ def synthesize_main(argv=None):
             for (idx, _), ref in zip(chunk, refs):
                 idx2ref[idx] = ref
 
-        out = tts_auto_regression(
-            net, variables, jnp.asarray(text), jnp.asarray(text_len),
-            spk_feat=spk_feat, max_frames=args.max_frames, rng=rng)
+        if synth is None:
+            from speechain_tpu.infer.tts_decoding import make_tts_synthesizer
+            synth = make_tts_synthesizer(net, max_frames=args.max_frames,
+                                         rng=rng)
+        out = synth(variables, jnp.asarray(text), jnp.asarray(text_len),
+                    spk_feat=spk_feat)
         feat = net.apply(variables, out["hypo_feat"], None,
                          method=net.recover_feat)
         if args.vocoder == "gl":

