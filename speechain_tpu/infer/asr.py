@@ -165,6 +165,19 @@ def make_asr_decoder(net, **decode_kwargs):
     return decode
 
 
+def make_asr_teacher_scorer(net, **kwargs):
+    """JITTED ``fn(variables, feat, feat_len, text, text_len)`` wrapping
+    :func:`asr_teacher_forcing` (same rationale as make_asr_decoder)."""
+    import jax as _jax
+
+    @_jax.jit
+    def score(variables, feat, feat_len, text, text_len):
+        return asr_teacher_forcing(net, variables, feat, feat_len, text,
+                                   text_len, **kwargs)
+
+    return score
+
+
 def asr_teacher_forcing(net, variables, feat: Array, feat_len: Array,
                         text: Array, text_len: Array, *,
                         temperature: float = 1.0) -> Dict[str, Array]:

@@ -151,6 +151,9 @@ def merge_config(args) -> Dict[str, Any]:
     merged["train_cfg"] = exp_cfg["train_cfg"]
     merged["infer_cfg"] = exp_cfg.get("infer_cfg", {})
     merged["test_model"] = args.test_model or exp_cfg.get("test_model")
+    merged["loss_weights"] = exp_cfg.get("loss_weights")
+    merged["visual_snapshot_interval"] = exp_cfg.get(
+        "visual_snapshot_interval", 5)
     return merged
 
 
@@ -265,6 +268,8 @@ def train_main(cfg: Dict, args):
 
     loaders = {}
     for split in ("train", "valid"):
+        if split not in cfg["data_cfg"]:
+            continue
         loaders[split] = build_data(
             cfg["data_cfg"], split, tokenizer,
             batch_bucket=args.batch_bucket,
@@ -381,7 +386,8 @@ def train_main(cfg: Dict, args):
         monitor.finish_train_epoch(epoch)
         monitor.log_device_memory()
 
-        if epoch % cfg["valid_per_epochs"] == 0 and not args.dry_run:
+        if epoch % cfg["valid_per_epochs"] == 0 and not args.dry_run \
+                and "valid" in loaders:
             for batch in loaders["valid"].epoch(epoch):
                 db = to_device_batch(batch, epoch)
                 _, metrics = jvalid(state, db, ep_rng)
@@ -413,6 +419,13 @@ def train_main(cfg: Dict, args):
             ckpt.save_epoch_model(epoch, state.params, state.mutables)
             decision = tracker.update(epoch, valid_summary)
             ckpt.prune_epochs(decision["keep"])
+            # best/latest registry (the reference's symlink farm,
+            # monitor.py:929-957, as a json index)
+            with open(os.path.join(ckpt.models_dir, "registry.json"),
+                      "w") as f:
+                json.dump(dict(best=decision["best"],
+                               keep=decision["keep"], latest=epoch,
+                               records=tracker.records), f, indent=1)
             ckpt.save_train_state(state, extra=dict(
                 epoch=epoch, monitor=monitor.state_dict(),
                 tracker=tracker.state_dict()))

@@ -114,13 +114,16 @@ def build_optimizers(optim_sches_cfg: Dict[str, Any], *,
                      accum_grad: int = 1, grad_clip: Optional[float] = 5.0,
                      ft_factor: float = 1.0):
     """Config-driven entry matching the reference ``optim_sches`` block:
-    either a single {type, conf} or a dict of named ones
-    (runner.py:697-772)."""
+    either a single {type, conf} or a dict of named ones, each owning a
+    disjoint ``updated_modules`` parameter subset (runner.py:697-772,
+    optim_sche/abs.py:112-126)."""
     if "type" in optim_sches_cfg:
         optim_sches_cfg = {"main": optim_sches_cfg}
-    txs = {}
+    txs: Dict[str, optax.GradientTransformation] = {}
+    owned: Dict[str, Optional[List[str]]] = {}
     for name, spec in optim_sches_cfg.items():
         conf = dict(spec.get("conf", {}))
+        owned[name] = conf.pop("updated_modules", None)
         txs[name] = build_optimizer(
             sche_type=spec.get("type", "noam"),
             optim_type=conf.pop("optim_type", "Adam"),
@@ -132,10 +135,42 @@ def build_optimizers(optim_sches_cfg: Dict[str, Any], *,
             accum_grad=conf.pop("accum_grad", accum_grad),
             grad_clip=conf.pop("grad_clip", grad_clip),
             ft_factor=conf.pop("ft_factor", ft_factor),
-            updated_modules=conf.pop("updated_modules", None),
+            # ownership is resolved by the outer multi_transform below in
+            # the multi-optimizer case so transforms never compose serially
+            updated_modules=(owned[name] if len(optim_sches_cfg) == 1
+                             else None),
         )
     if len(txs) == 1:
         return next(iter(txs.values()))
-    # multiple optimizers over disjoint parameter subsets combine additively:
-    # each inner tx already zeroes non-owned params via updated_modules
-    return optax.chain(*txs.values())
+
+    # multiple optimizers: route each parameter to exactly one optimizer by
+    # its updated_modules prefixes (overlap check mirrors runner.py:741-755)
+    names = list(txs)
+
+    def label_fn(params):
+        import flax
+        flat = flax.traverse_util.flatten_dict(params)
+        labels = {}
+        for path in flat:
+            joined = "/".join(str(p) for p in path)
+            hit = None
+            for name in names:
+                mods = owned[name]
+                if mods is None:
+                    continue
+                if any(joined.startswith(m) or ("/" + m + "/") in
+                       ("/" + joined + "/") for m in mods):
+                    assert hit is None, (
+                        f"parameter {joined} claimed by both {hit} and "
+                        f"{name} (overlapping updated_modules)")
+                    hit = name
+            if hit is None:
+                # unclaimed params go to the first optimizer without an
+                # updated_modules restriction, else are frozen
+                fallback = [n for n in names if owned[n] is None]
+                hit = fallback[0] if fallback else "_frozen"
+            labels[path] = hit
+        return flax.traverse_util.unflatten_dict(labels)
+
+    return optax.multi_transform({**txs, "_frozen": optax.set_to_zero()},
+                                 label_fn)

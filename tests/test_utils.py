@@ -136,3 +136,29 @@ def test_dataset_silence_trimming():
     s = ds["a"]
     assert s["text"] == "['HH', 'AH0']"
     assert list(s["duration"]) == [20.0, 30.0]
+
+
+def test_multi_optimizer_routing():
+    """Multiple named optimizers own disjoint updated_modules subsets; each
+    parameter updates via exactly one optimizer, unclaimed params freeze
+    (optim_sche/abs.py:112-126 + runner.py:741-755 semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from speechain_tpu.train.optim import build_optimizers
+
+    cfg = {
+        "enc": {"type": "noam", "conf": {"optim_conf": {"lr": 1e-1},
+                "warmup_steps": 1, "updated_modules": ["encoder"]}},
+        "dec": {"type": "const", "conf": {"optim_conf": {"lr": 0.0},
+                "updated_modules": ["decoder"]}},
+    }
+    tx = build_optimizers(cfg)
+    params = {"encoder": {"w": jnp.ones(3)}, "decoder": {"w": jnp.ones(3)},
+              "other": {"w": jnp.ones(3)}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert abs(float(updates["encoder"]["w"][0])) > 1e-6
+    assert float(jnp.abs(updates["decoder"]["w"]).max()) < 1e-12
+    assert float(jnp.abs(updates["other"]["w"]).max()) < 1e-12
