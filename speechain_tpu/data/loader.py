@@ -145,10 +145,16 @@ class EpochLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
+        abort = threading.Event()
+
         def producer():
             try:
                 for idxs in batches:
+                    if abort.is_set():
+                        break
                     q.put(self._load_batch(idxs, pool))
+            except RuntimeError:
+                pass  # pool shut down by an early-exiting consumer
             finally:
                 q.put(stop)
 
@@ -161,6 +167,14 @@ class EpochLoader:
                     break
                 yield item
         finally:
+            # consumer may exit early (e.g. next(...) on the first batch):
+            # signal the producer, drain its pending put, then shut down
+            abort.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
             if pool is not None:
                 pool.shutdown(wait=False)
 
