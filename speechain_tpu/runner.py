@@ -63,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_bucket", type=int, default=8)
     p.add_argument("--time_bucket", type=int, default=None)
     p.add_argument("--token_bucket", type=int, default=16)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of N train steps "
+                        "(after a short warmup) into result_path/profile; "
+                        "view with TensorBoard (SURVEY 5.1 TPU tracing)")
     p.add_argument("--num_workers", type=int, default=4,
                    help="host loader worker threads (reference DataLoader "
                         "num_workers)")
@@ -360,6 +364,12 @@ def train_main(cfg: Dict, args):
             out["epoch"] = jnp.asarray(_epoch, jnp.int32)
         return out
 
+    # jax.profiler tracing window (the TPU replacement for the reference's
+    # wall-clock-only measure_time tracing, monitor.py:126-148): skip the
+    # first compile-heavy steps, then capture profile_steps steps.
+    profile_steps = max(0, int(getattr(args, "profile_steps", 0) or 0))
+    profile_warmup, profile_state, global_step = 3, "off", 0
+
     for epoch in range(start_epoch, cfg["num_epochs"] + 1):
         ep_rng = jax.random.fold_in(rng, epoch)
         t_ep = time.time()
@@ -368,6 +378,13 @@ def train_main(cfg: Dict, args):
                       device_prefetch(loaders["train"].epoch(epoch),
                                       lambda b: to_device_batch(b, epoch)))
         for db in train_iter:
+            if profile_steps and profile_state == "off" \
+                    and global_step >= profile_warmup:
+                jax.profiler.start_trace(
+                    os.path.join(result_path, "profile"))
+                profile_state, profile_end = "on", global_step + profile_steps
+                logger.info("profiler trace started (steps %d-%d)",
+                            global_step, profile_end - 1)
             with monitor.measure_time("step_time"):
                 if args.dry_run:
                     continue
@@ -382,6 +399,13 @@ def train_main(cfg: Dict, args):
                         raise
                     logger.exception("step skipped after exception")
                     continue
+            global_step += 1
+            if profile_state == "on" and global_step >= profile_end:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profile_state = "done"
+                logger.info("profiler trace written to %s",
+                            os.path.join(result_path, "profile"))
             monitor.train_step(metrics)
         monitor.finish_train_epoch(epoch)
         monitor.log_device_memory()
@@ -433,6 +457,12 @@ def train_main(cfg: Dict, args):
                 logger.info("early stopping at epoch %d", epoch)
                 break
         logger.info("epoch %d done in %.1fs", epoch, time.time() - t_ep)
+
+    if profile_state == "on":  # ran out of steps before the window closed
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s (training ended inside "
+                    "the profile window)", os.path.join(result_path,
+                                                        "profile"))
 
     # final N-best average (monitor.py:1031-1121)
     decision = tracker.update(cfg["num_epochs"] + 1, {})
