@@ -58,7 +58,11 @@ def main():
     )
     net = ARASRNet(cfg=cfg)
 
-    B, SECS, L = 16, 8, 32
+    # B=64 by default: at small batches the measurement is dispatch-latency
+    # bound (B=16 and B=64 both take ~6 ms/step through the device link);
+    # B=64 keeps the MXU busy and reflects production batch sizes.
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    SECS, L = 8, 32
     T = SECS * 16000
     rng = jax.random.PRNGKey(0)
     batch = dict(

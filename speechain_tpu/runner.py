@@ -408,6 +408,7 @@ def train_main(cfg: Dict, args):
                             os.path.join(result_path, "profile"))
             monitor.train_step(metrics)
         monitor.finish_train_epoch(epoch)
+        monitor.record_trainable_scalars(state.params, epoch)
         monitor.log_device_memory()
 
         if epoch % cfg["valid_per_epochs"] == 0 and not args.dry_run \

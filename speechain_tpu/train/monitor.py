@@ -167,6 +167,28 @@ class TrainValidMonitor:
     def finish_train_epoch(self, epoch: int):
         self._finish_epoch("train", epoch)
 
+    def record_trainable_scalars(self, params, epoch: int,
+                                 names: tuple = ("alpha",)):
+        """Track scalar trainable parameters (e.g. the Transformer-TTS
+        positional-encoding alpha) as per-epoch curves — the reference's
+        get_recordable_para recursion (module/abs.py:140-173) plotted by the
+        valid monitor (monitor.py:741-771)."""
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        for path, leaf in flat:
+            if getattr(leaf, "ndim", None) != 0:
+                continue
+            key = "/".join(str(getattr(p, "key", p)) for p in path)
+            if names and not any(key.endswith(n) for n in names):
+                continue
+            val = float(leaf)
+            recs = self.epoch_records.setdefault("para", defaultdict(list))
+            recs[key].append(val)
+            self.logger.info("epoch %d recordable para %s: %.6f",
+                             epoch, key, val)
+            self.shooter.snapshot({f"para_{key}": recs[key]}, epoch)
+
     def valid_step(self, metrics: Dict[str, Any]):
         for k, v in metrics.items():
             self.step_records[f"valid_{k}"].append(float(v))
