@@ -44,6 +44,7 @@ def asr_beam_search(
     lm_variables: Optional[Dict[str, Any]] = None,
     lm_weight: float = 0.0,
     lm_temperature: float = 1.0,
+    lm_window_size: Optional[int] = None,
     ilm_sub_weight: float = 0.0,
     sos_eos: Optional[int] = None,
     padding_idx: int = 0,
@@ -100,18 +101,28 @@ def asr_beam_search(
     lm = None
     if lm_net is not None and lm_weight > 0.0:
         lm_base = {k: v for k, v in lm_variables.items() if k != "cache"}
-        _, lm_primed = lm_net.apply(
-            lm_base, dummy, prime=True, cache_capacity=maxlen,
-            method=lm_net.decode_step, mutable=["cache"])
+        if lm_window_size:
+            # sliding-window fusion (reference beam_search.py:321-339):
+            # full LM forward over the last W prefix tokens each step
+            def lm_window_fwd(tokens, lens):
+                return lm_net.apply(lm_base, tokens, lens)[0]
 
-        def lm_step(cache, token):
-            logits, updated = lm_net.apply(
-                {**lm_base, "cache": cache}, token,
+            lm = StepScorer(step=lm_window_fwd, cache=None,
+                            weight=lm_weight, temperature=lm_temperature,
+                            window_size=int(lm_window_size))
+        else:
+            _, lm_primed = lm_net.apply(
+                lm_base, dummy, prime=True, cache_capacity=maxlen,
                 method=lm_net.decode_step, mutable=["cache"])
-            return logits, updated["cache"]
 
-        lm = StepScorer(step=lm_step, cache=lm_primed["cache"],
-                        weight=lm_weight, temperature=lm_temperature)
+            def lm_step(cache, token):
+                logits, updated = lm_net.apply(
+                    {**lm_base, "cache": cache}, token,
+                    method=lm_net.decode_step, mutable=["cache"])
+                return logits, updated["cache"]
+
+            lm = StepScorer(step=lm_step, cache=lm_primed["cache"],
+                            weight=lm_weight, temperature=lm_temperature)
 
     # ---- internal LM (decoder over zeroed encoder output) ---------------
     ilm = None

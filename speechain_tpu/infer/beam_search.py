@@ -45,12 +45,19 @@ EPS = 1e-20
 @dataclasses.dataclass
 class StepScorer:
     """A KV-cached autoregressive scorer: step(cache, token (BK,1)) ->
-    (logits (BK, 1, V), new_cache)."""
+    (logits (BK, 1, V), new_cache).
+
+    When ``window_size > 0`` the scorer is windowed instead (the reference's
+    ``lm_window_size`` sliding-window LM fusion, beam_search.py:321-339):
+    ``step(tokens (BK, W), lens (BK,)) -> logits (BK, W, V)`` re-scores the
+    last W prefix tokens from position 0 each beam step and ``cache`` is
+    unused (None)."""
 
     step: Callable
     cache: Any
     weight: float = 0.0
     temperature: float = 1.0
+    window_size: int = 0
 
 
 class BeamState(NamedTuple):
@@ -142,9 +149,30 @@ def beam_search(
 
         lm_cache = s.lm_cache
         if lm is not None and lm.weight > 0.0:
-            lm_logits, lm_cache = lm.step(lm_cache, tok_in)
-            lm_logp = jax.nn.log_softmax(
-                lm_logits[:, -1].astype(jnp.float32) / lm.temperature, -1)
+            if lm.window_size > 0:
+                # sliding-window LM fusion (reference beam_search.py:321-339):
+                # rerun the LM on the last W tokens of [sos] + prefix, with
+                # positions restarting at 0 — no KV cache. Shorter prefixes
+                # keep their true length; the causal mask makes the trailing
+                # slack positions invisible to the scored position.
+                W = min(lm.window_size, L + 1)
+                seqs = s.alive_seq.reshape(BK, L)
+                full = jnp.concatenate(
+                    [jnp.full((BK, 1), sos_eos, jnp.int32), seqs], axis=1)
+                plen = s.cur_len + 1          # prefix length incl. sos
+                start = jnp.maximum(0, plen - W)
+                win = jax.lax.dynamic_slice_in_dim(full, start, W, axis=1)
+                wlen = jnp.broadcast_to(jnp.minimum(plen, W), (BK,))
+                lm_logits = lm.step(win, wlen)               # (BK, W, V)
+                pos_logits = jnp.take_along_axis(
+                    lm_logits, (wlen - 1)[:, None, None], axis=1)[:, 0]
+                lm_logp = jax.nn.log_softmax(
+                    pos_logits.astype(jnp.float32) / lm.temperature, -1)
+            else:
+                lm_logits, lm_cache = lm.step(lm_cache, tok_in)
+                lm_logp = jax.nn.log_softmax(
+                    lm_logits[:, -1].astype(jnp.float32) / lm.temperature,
+                    -1)
             logp = logp + lm.weight * lm_logp
 
         ilm_cache = s.ilm_cache

@@ -529,13 +529,56 @@ def test_main(cfg: Dict, args):
                     if k not in ("train", "valid")}
     all_results = {}
     from speechain_tpu.infer.asr import make_asr_decoder
+
+    lm_bundle = {}
+
+    def _load_lm(infer_cfg):
+        """Lazy external-LM load for joint decoding (model/ar_asr.py:796-846:
+        lm_model_cfg yaml + lm_model_path weights from customize_conf, with
+        infer_cfg overrides; initialized once per test session)."""
+        if "net" in lm_bundle:
+            return lm_bundle["net"], lm_bundle["vars"]
+        import orbax.checkpoint as ocp
+
+        from speechain_tpu.builders import build_lm
+        from speechain_tpu.utils.yamlref import load_yaml as _ly
+        lm_conf = (infer_cfg.get("lm_model_cfg")
+                   or customize.get("lm_model_cfg"))
+        lm_path = (infer_cfg.get("lm_model_path")
+                   or customize.get("lm_model_path"))
+        assert lm_conf is not None and lm_path is not None, (
+            "ASR-LM joint decoding needs lm_model_cfg and lm_model_path "
+            "(in infer_cfg or model customize_conf)")
+        if isinstance(lm_conf, str):
+            lm_conf = _ly(lm_conf)
+        for key in ("train_cfg", "model", "module_conf"):
+            if isinstance(lm_conf, dict) and key in lm_conf:
+                lm_conf = lm_conf[key]
+        lm_net, _ = build_lm(lm_conf, tokenizer.vocab_size)
+        payload = ocp.StandardCheckpointer().restore(
+            os.path.abspath(lm_path), None)
+        lm_vars = {"params": payload.get("params", payload)}
+        logger.info("external LM loaded from %s", lm_path)
+        lm_bundle["net"], lm_bundle["vars"] = lm_net, lm_vars
+        return lm_net, lm_vars
+
     for run_name, infer_cfg in infer_runs.items():
+      lm_kwargs = {}
+      if float(infer_cfg.get("lm_weight", 0.0)) > 0.0:
+          lm_net, lm_vars = _load_lm(infer_cfg)
+          lm_kwargs = dict(
+              lm_net=lm_net, lm_variables=lm_vars,
+              lm_weight=float(infer_cfg["lm_weight"]),
+              lm_temperature=float(infer_cfg.get("lm_temperature", 1.0)),
+              lm_window_size=infer_cfg.get("lm_window_size"),
+              ilm_sub_weight=float(infer_cfg.get("ilm_sub_weight", 0.0)))
       decode_fn = make_asr_decoder(
           net,
           beam_size=int(infer_cfg.get("beam_size", 4)),
           temperature=float(infer_cfg.get("temperature", 1.0)),
           ctc_weight=float(infer_cfg.get("ctc_weight", 0.0)),
-          length_penalty=float(infer_cfg.get("length_penalty", 1.0)))
+          length_penalty=float(infer_cfg.get("length_penalty", 1.0)),
+          **lm_kwargs)
       for set_name in (test_loaders or {"valid": None}):
         loader = build_data(cfg["data_cfg"], set_name, tokenizer,
                             batch_bucket=args.batch_bucket,

@@ -193,3 +193,47 @@ def test_ctc_prefix_scorer_matches_oracle(prefix):
     want = oracle_psi - prev_psi
     mask = np.arange(V) != blank
     np.testing.assert_allclose(inc[mask], want[mask], atol=1e-3, rtol=1e-3)
+
+
+def _tiny_lm(V=20, D=32):
+    from speechain_tpu.nn.lm import LanguageModelNet, LMConfig
+    cfg = LMConfig(vocab_size=V, emb=dict(embedding_dim=D),
+                   encoder=dict(d_model=D, num_heads=4, num_layers=2,
+                                fdfwd_dim=64))
+    net = LanguageModelNet(cfg=cfg)
+    text = jax.random.randint(RNG, (2, 6), 1, V - 1)
+    text_len = jnp.full((2,), 6, jnp.int32)
+    variables = net.init({"params": RNG, "dropout": RNG}, text, text_len)
+    return net, variables
+
+
+def test_lm_window_covering_prefix_matches_cached_fusion():
+    """A window >= maxlen covers the whole prefix with positions starting
+    at 0, so windowed fusion must equal the KV-cached full-prefix fusion
+    (reference beam_search.py:321-339 windowed LM path)."""
+    net, variables, feat, feat_len = _tiny_net()
+    lm_net, lm_vars = _tiny_lm()
+    maxlen = 10
+    kw = dict(beam_size=3, max_len=maxlen, lm_net=lm_net,
+              lm_variables=lm_vars, lm_weight=0.4)
+    cached = asr_beam_search(net, variables, feat, feat_len, **kw)
+    windowed = asr_beam_search(net, variables, feat, feat_len,
+                               lm_window_size=maxlen + 1, **kw)
+    np.testing.assert_array_equal(np.asarray(cached["hypo_text"]),
+                                  np.asarray(windowed["hypo_text"]))
+    np.testing.assert_allclose(np.asarray(cached["hypo_text_confid"]),
+                               np.asarray(windowed["hypo_text_confid"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lm_window_small_changes_scores_but_runs_clean():
+    """W=2 truncates context: search still terminates with finite scores
+    and valid token ids."""
+    net, variables, feat, feat_len = _tiny_net()
+    lm_net, lm_vars = _tiny_lm()
+    out = asr_beam_search(net, variables, feat, feat_len, beam_size=3,
+                          max_len=10, lm_net=lm_net, lm_variables=lm_vars,
+                          lm_weight=0.4, lm_window_size=2)
+    assert np.isfinite(np.asarray(out["hypo_text_confid"])).all()
+    V = net.cfg.vocab_size
+    assert (np.asarray(out["hypo_text"]) < V).all()
