@@ -46,6 +46,7 @@ def asr_beam_search(
     lm_temperature: float = 1.0,
     lm_window_size: Optional[int] = None,
     ilm_sub_weight: float = 0.0,
+    sent_per_beam: int = 1,
     sos_eos: Optional[int] = None,
     padding_idx: int = 0,
     max_len: Optional[int] = None,
@@ -148,7 +149,8 @@ def asr_beam_search(
         min_f2t_ratio=min_f2t_ratio, length_penalty=length_penalty,
         temperature=temperature, eos_filtering=eos_filtering,
         eos_threshold=eos_threshold, ctc_weight=ctc_weight,
-        ctc_scorer=ctc_scorer, lm=lm, ilm=ilm, max_len=max_len)
+        ctc_scorer=ctc_scorer, lm=lm, ilm=ilm, max_len=max_len,
+        sent_per_beam=sent_per_beam)
     return out
 
 

@@ -105,6 +105,7 @@ def beam_search(
     lm: Optional[StepScorer] = None,
     ilm: Optional[StepScorer] = None,
     max_len: Optional[int] = None,
+    sent_per_beam: int = 1,
 ) -> Dict[str, Array]:
     B, K, V = batch_size, beam_size, vocab_size
     BK = B * K
@@ -280,17 +281,25 @@ def beam_search(
     pool_lens = jnp.concatenate(
         [final.fin_len,
          jnp.broadcast_to(final.cur_len, (B, K))], 1)
-    best_score, best = jax.lax.top_k(pool_scores, 1)             # (B, 1)
-    hypo = jnp.take_along_axis(pool_seqs, best[..., None], 1)[:, 0]  # (B, L)
-    hypo_len = jnp.take_along_axis(pool_lens, best, 1)[:, 0]
-    # zero out tokens beyond the hypothesis length
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    hypo = jnp.where(pos < hypo_len[:, None], hypo, padding_idx)
+    # n-best selection: the finished pool already holds K scored hypotheses
+    # per utterance, so sent_per_beam > 1 (NotImplementedError in the
+    # reference, beam_search.py:190-200) falls out for free.
+    N = max(1, min(sent_per_beam, pool_scores.shape[1]))
+    best_score, best = jax.lax.top_k(pool_scores, N)             # (B, N)
+    hypo = jnp.take_along_axis(pool_seqs, best[..., None], 1)    # (B, N, L)
+    hypo_len = jnp.take_along_axis(pool_lens, best, 1)           # (B, N)
+    # zero out tokens beyond each hypothesis length
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    hypo = jnp.where(pos < hypo_len[..., None], hypo, padding_idx)
 
-    return dict(
-        hypo_text=hypo,
-        hypo_text_len=hypo_len,
+    out = dict(
+        hypo_text=hypo[:, 0],
+        hypo_text_len=hypo_len[:, 0],
         hypo_text_confid=best_score[:, 0],
         feat_token_len_ratio=enc_len.astype(jnp.float32)
-        / (hypo_len.astype(jnp.float32) + 1e-10),
+        / (hypo_len[:, 0].astype(jnp.float32) + 1e-10),
     )
+    if N > 1:
+        out.update(nbest_text=hypo, nbest_text_len=hypo_len,
+                   nbest_confid=best_score)
+    return out

@@ -237,3 +237,27 @@ def test_lm_window_small_changes_scores_but_runs_clean():
     assert np.isfinite(np.asarray(out["hypo_text_confid"])).all()
     V = net.cfg.vocab_size
     assert (np.asarray(out["hypo_text"]) < V).all()
+
+
+def test_sent_per_beam_nbest_output():
+    """sent_per_beam > 1 returns ranked n-best hypotheses (the reference
+    raises NotImplementedError here, beam_search.py:190-200); the 1-best
+    row must match the default output exactly."""
+    net, variables, feat, feat_len = _tiny_net()
+    one = asr_beam_search(net, variables, feat, feat_len, beam_size=4,
+                          max_len=10)
+    nb = asr_beam_search(net, variables, feat, feat_len, beam_size=4,
+                         max_len=10, sent_per_beam=3)
+    assert nb["nbest_text"].shape[1] == 3
+    np.testing.assert_array_equal(np.asarray(nb["hypo_text"]),
+                                  np.asarray(one["hypo_text"]))
+    np.testing.assert_array_equal(np.asarray(nb["nbest_text"][:, 0]),
+                                  np.asarray(nb["hypo_text"]))
+    scores = np.asarray(nb["nbest_confid"])
+    assert (np.diff(scores, axis=1) <= 1e-6).all(), "ranked descending"
+    # every hypothesis padded with padding_idx beyond its length
+    lens = np.asarray(nb["nbest_text_len"])
+    toks = np.asarray(nb["nbest_text"])
+    for b in range(toks.shape[0]):
+        for n in range(3):
+            assert (toks[b, n, lens[b, n]:] == 0).all()
