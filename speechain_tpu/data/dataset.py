@@ -178,10 +178,13 @@ class SpeechTextDataset(Dataset):
                         unk_mask_prob: float = 0.0,
                         use_g2p: bool = False,
                         lexicon_path: Optional[str] = None,
-                        remove_sil: bool = False, **conf):
+                        remove_sil: bool = False,
+                        wave_int16: bool = True, **conf):
         self.use_speed_perturb = use_speed_perturb
         self.perturb_range = list(perturb_range)
         self.sample_rate = sample_rate
+        # raw-PCM fast path (see the wav branch in extract_main_data_fn)
+        self.wave_int16 = bool(wave_int16)
         # word-level <unk> masking for robust-ASR training
         # (speech_text.py:447-498)
         self.unk_mask_prob = float(unk_mask_prob)
@@ -273,12 +276,25 @@ class SpeechTextDataset(Dataset):
         for name, value in main_data.items():
             if name == "wav":
                 from speechain_tpu.utils.fileio import read_data_by_path
-                wave, src_sr = read_data_by_path(value,
-                                                 return_sample_rate=True)
-                wave = np.asarray(wave, np.float32).reshape(-1)
-                wave = self._maybe_downsample(wave, src_sr)
-                if self.use_speed_perturb:
-                    wave = self._speed_perturb(wave)
+                # keep 16-bit PCM as int16 when no host-side resampling is
+                # needed: the device frontend scales by the exact 2^-15
+                # (ops/frontend.to_float_wave), halving host work + transfer
+                wave, src_sr = read_data_by_path(
+                    value, return_sample_rate=True,
+                    prefer_int16=self.wave_int16)
+                if wave.dtype == np.int16 and (
+                        self.use_speed_perturb
+                        or (src_sr is not None
+                            and src_sr > self.sample_rate)):
+                    wave = wave.astype(np.float32)
+                    wave *= np.float32(1.0 / 32768.0)
+                if wave.dtype != np.int16:
+                    wave = np.asarray(wave, np.float32).reshape(-1)
+                    wave = self._maybe_downsample(wave, src_sr)
+                    if self.use_speed_perturb:
+                        wave = self._speed_perturb(wave)
+                else:
+                    wave = wave.reshape(-1)
                 out["feat"] = wave[:, None]
             elif name == "feat":
                 out["feat"] = load_data_by_path(value).astype(np.float32)

@@ -57,7 +57,11 @@ def collate_speech_text(samples: List[Dict[str, Any]],
         feats = [s["feat"] for s in samples]
         T = bucket_len(max(f.shape[0] for f in feats), time_bucket, time_bucket)
         D = feats[0].shape[-1]
-        feat = np.zeros((B_pad, T, D), np.float32)
+        # int16 PCM rows stay int16 (frontend converts on device with the
+        # exact 2^-15 scale); any float row promotes the whole batch
+        dtype = (np.int16 if all(f.dtype == np.int16 for f in feats)
+                 else np.float32)
+        feat = np.zeros((B_pad, T, D), dtype)
         feat_len = np.zeros((B_pad,), np.int32)
         for i, f in enumerate(feats):
             feat[i, :f.shape[0]] = f

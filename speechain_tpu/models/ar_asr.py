@@ -41,7 +41,7 @@ from speechain_tpu.ops.feat_norm import (
     apply_feat_norm,
     init_stats,
 )
-from speechain_tpu.ops.frontend import FrontendConfig, compute_logmel
+from speechain_tpu.ops.frontend import FrontendConfig, compute_logmel, to_float_wave
 from speechain_tpu.ops.specaug import SpecAugmentConfig, spec_augment
 from speechain_tpu.train import criteria
 from speechain_tpu.utils.masks import make_mask_from_len
@@ -69,7 +69,7 @@ class ASRFrontend(nn.Module):
         if feat.ndim == 3 and feat.shape[-1] == 1:
             # raw waveform -> log-Mel (encoder/asr.py:102-109); fused Pallas
             # kernel on TPU, XLA pipeline elsewhere
-            wave = feat[..., 0].astype(jnp.float32)
+            wave = to_float_wave(feat[..., 0])
             feat, feat_len, _, _ = compute_logmel(wave, feat_len, cfg)
         if self.feat_norm is not None:
             stats = self.variable("norm_stats", "stats",

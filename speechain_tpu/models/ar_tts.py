@@ -40,6 +40,7 @@ from speechain_tpu.ops.frontend import (
     _frontend_impl,
     dft_filterbank,
     hann_window,
+    to_float_wave,
     mel_filterbank,
 )
 from speechain_tpu.train import criteria
@@ -144,7 +145,7 @@ class ARTTSNet(nn.Module):
                 cfgf.n_freqs, cfgf.n_mels, cfgf.sr, cfgf.fmin, cfgf.fmax,
                 cfgf.mel_scale, cfgf.mel_norm))
             feat, feat_len, _, _ = _frontend_impl(
-                feat[..., 0].astype(jnp.float32), feat_len, basis, mel_fb,
+                to_float_wave(feat[..., 0]), feat_len, basis, mel_fb,
                 cfgf)
         if c.feat_norm is not None:
             feat, feat_len = self.feat_norm_mod(

@@ -49,6 +49,7 @@ from speechain_tpu.ops.frontend import (
     _frontend_impl,
     dft_filterbank,
     hann_window,
+    to_float_wave,
     mel_filterbank,
 )
 from speechain_tpu.train import criteria
@@ -216,7 +217,7 @@ class FastSpeech2Net(nn.Module):
                 f.n_freqs, f.n_mels, f.sr, f.fmin, f.fmax, f.mel_scale,
                 f.mel_norm))
             feat, feat_len, energy, energy_len = _frontend_impl(
-                feat[..., 0].astype(jnp.float32), feat_len, basis, mel_fb, f)
+                to_float_wave(feat[..., 0]), feat_len, basis, mel_fb, f)
         if feat is not None and c.feat_norm is not None:
             feat, feat_len = self.feat_norm_mod(
                 feat, feat_len, train=train, epoch=epoch,

@@ -177,12 +177,31 @@ def _num_frames(wave_len, n_fft: int, hop: int, center: bool):
     return (eff - n_fft) // hop + 1
 
 
+def to_float_wave(wave: jnp.ndarray) -> jnp.ndarray:
+    """Accept int16 PCM batches directly: the host loader keeps waveforms as
+    int16 (half the host->device bytes, no host conversion pass) and the
+    scale by 2^-15 happens here on device. 2^-15 is a power of two, so
+    int16 -> float32 -> *2^-15 is EXACT and bit-identical to converting on
+    the host (reference loads float via torchaudio,
+    data_loading_util.py:21-45)."""
+    if jnp.issubdtype(wave.dtype, jnp.integer):
+        assert wave.dtype == jnp.int16, (
+            f"integer waveforms must be int16 PCM, got {wave.dtype}")
+        scaled = wave.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        # stop XLA re-associating the scale into downstream ops (e.g. fusing
+        # it through pre-emphasis), which would break bit-exactness with the
+        # host-converted float path
+        return jax.lax.optimization_barrier(scaled)
+    return wave.astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _frontend_impl(wave: jnp.ndarray, wave_len: jnp.ndarray,
                    dft_basis: jnp.ndarray, mel_fb: jnp.ndarray,
                    cfg: FrontendConfig):
-    """wave (B, L) float -> (feat (B, T, n_mels), feat_len, energy, energy_len)."""
-    wave = wave.astype(jnp.float32)
+    """wave (B, L) float or int16 PCM -> (feat (B, T, n_mels), feat_len,
+    energy, energy_len)."""
+    wave = to_float_wave(wave)
     B, L = wave.shape
     n_fft, hop = cfg.fft, cfg.hop
     n_freq = cfg.n_freqs
@@ -263,6 +282,12 @@ def compute_logmel(wave: jnp.ndarray, wave_len: jnp.ndarray,
         backend = jax.default_backend()
         use_pallas = (backend not in ("cpu",) and not cfg.return_energy
                       and not os.environ.get("SPEECHAIN_DISABLE_PALLAS"))
+    # convert int16 PCM BEFORE the jitted pipeline: called eagerly this puts
+    # the conversion in its own executable, so the downstream program is the
+    # same one the float path compiles -> bit-identical output. (Called from
+    # inside an outer jit the conversion fuses and may differ by <1e-3 on
+    # log-clamped silence frames — CPU FMA contraction across the fusion.)
+    wave = to_float_wave(wave)
     if use_pallas:
         from speechain_tpu.ops.pallas_logmel import pallas_logmel
         feat, feat_len = pallas_logmel(wave, wave_len, cfg)

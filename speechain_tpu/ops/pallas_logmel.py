@@ -64,9 +64,10 @@ def _logmel_kernel(frames_ref, basis_ref, mel_ref, out_ref, *,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def pallas_logmel(wave: jnp.ndarray, wave_len: jnp.ndarray,
                   cfg: FrontendConfig):
-    """wave (B, L) fp32 -> (feat (B, T, n_mels), feat_len). Matches
-    ops/frontend.py numerics (fp32 MXU matmuls)."""
-    wave = wave.astype(jnp.float32)
+    """wave (B, L) fp32 or int16 PCM -> (feat (B, T, n_mels), feat_len).
+    Matches ops/frontend.py numerics (fp32 MXU matmuls)."""
+    from speechain_tpu.ops.frontend import to_float_wave
+    wave = to_float_wave(wave)
     B, L = wave.shape
     n_fft, hop, n_freq = cfg.fft, cfg.hop, cfg.n_freqs
 

@@ -58,11 +58,16 @@ def read_txt_as_list(path: str) -> List[str]:
 # audio
 # --------------------------------------------------------------------------
 
-def read_wav(path: str) -> tuple:
+def read_wav(path: str, int16: bool = False) -> tuple:
     """Read a PCM wav file -> (float32 waveform in [-1, 1], sample_rate).
 
     Supports 8/16/24/32-bit integer PCM and 32-bit float PCM; multi-channel
     audio is averaged to mono (the reference only handles mono speech).
+
+    int16=True: for 16-bit mono PCM, return the raw int16 samples without
+    the float conversion pass (the device-side frontend scales by the exact
+    2^-15, see ops/frontend.to_float_wave); other formats still return
+    float32.
     """
     with open(path, "rb") as f:
         header = f.read(12)
@@ -89,7 +94,10 @@ def read_wav(path: str) -> tuple:
     if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
         wav = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif bits == 16:
-        wav = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        if int16 and n_channels == 1:
+            return np.frombuffer(data, dtype="<i2"), int(sample_rate)
+        wav = np.frombuffer(data, dtype="<i2").astype(np.float32)
+        wav *= np.float32(1.0 / 32768.0)
     elif bits == 32:
         wav = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
     elif bits == 8:
@@ -133,11 +141,13 @@ def read_flac(path: str) -> tuple:
 # generic data reader (the polymorphic path in the reference)
 # --------------------------------------------------------------------------
 
-def read_data_by_path(path: str, return_sample_rate: bool = False):
+def read_data_by_path(path: str, return_sample_rate: bool = False,
+                      prefer_int16: bool = False):
     """Polymorphic reader mirroring reference ``data_loading_util.py:21-89``.
 
     Handles: .wav, .flac, .npy, .npz (keys feat/sample_rate), and chunked
-    ``archive.npz:index`` addressing.
+    ``archive.npz:index`` addressing. ``prefer_int16`` passes the raw-PCM
+    fast path through to :func:`read_wav`.
     """
     sample_rate = None
     if ":" in path and not os.path.exists(path):
@@ -152,7 +162,7 @@ def read_data_by_path(path: str, return_sample_rate: bool = False):
             if "sample_rate" in z:
                 sample_rate = int(z["sample_rate"])
     elif path.endswith(".wav"):
-        data, sample_rate = read_wav(path)
+        data, sample_rate = read_wav(path, int16=prefer_int16)
     elif path.endswith(".flac"):
         data, sample_rate = read_flac(path)
     else:

@@ -209,3 +209,37 @@ def test_hann_window_matches_torch():
     # ours is computed in float64 then cast; torch computes in float32 — allow
     # a couple of fp32 ulps of difference
     np.testing.assert_allclose(ours, theirs, atol=3e-7)
+
+
+def test_int16_pcm_path_bit_identical(tmp_path):
+    """int16 PCM loading with device-side 2^-15 scaling must be bit-identical
+    to host float conversion when compute_logmel is called standalone, and
+    within 1e-3 when fused inside an outer jit (FMA contraction on clamped
+    silence frames)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from speechain_tpu.ops.frontend import FrontendConfig, compute_logmel
+    from speechain_tpu.utils.fileio import read_wav, write_wav
+
+    rng = np.random.default_rng(3)
+    wav = (rng.normal(size=16000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, wav, 16000)
+    wf, sr = read_wav(p)
+    wi, sr2 = read_wav(p, int16=True)
+    assert wi.dtype == np.int16 and sr == sr2 == 16000
+    np.testing.assert_array_equal(
+        wf, wi.astype(np.float32) * np.float32(2.0 ** -15))
+
+    cfg = FrontendConfig(n_mels=40, sr=sr, preemphasis=0.97)
+    L = jnp.array([len(wf)], jnp.int32)
+    f_f, *_ = compute_logmel(jnp.asarray(wf[None]), L, cfg)
+    f_i, *_ = compute_logmel(jnp.asarray(wi[None]), L, cfg)
+    np.testing.assert_array_equal(np.asarray(f_f), np.asarray(f_i))
+
+    jf = jax.jit(lambda w: compute_logmel(w, L, cfg)[0])
+    d = np.max(np.abs(np.asarray(jf(jnp.asarray(wf[None])))
+                      - np.asarray(jf(jnp.asarray(wi[None])))))
+    assert d < 1e-3
