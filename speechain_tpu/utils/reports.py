@@ -79,6 +79,52 @@ def write_test_reports(out_dir: str, *, idx2hypo: Dict[str, str],
     rows = [[idx, f"{wer:.4f}", idx2hypo.get(idx, "")]
             for idx, wer in topn_bad_cases(idx2wer, topn)]
     lines.append(md_table(["idx", "wer", "hypothesis"], rows))
+
+    # per-metric histograms (monitor.py:1839-1853): matplotlib png when
+    # available, plus an always-on text histogram inline in the report
+    for metric, data in (("cer", idx2cer), ("wer", idx2wer)):
+        vals = [v for v in data.values() if isinstance(v, (int, float))]
+        if not vals:
+            continue
+        lines.append("")
+        lines.append(f"## {metric} histogram")
+        lines.append("```")
+        lines.extend(text_histogram(vals))
+        lines.append("```")
+        _save_hist_png(vals, metric, os.path.join(out_dir, "figures"))
+
     with open(os.path.join(out_dir, "overall_results.md"), "w",
               encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def text_histogram(vals: Sequence[float], bins: int = 10,
+                   width: int = 40) -> List[str]:
+    """Fixed-width ASCII histogram lines for the markdown report."""
+    import numpy as np
+
+    counts, edges = np.histogram(np.asarray(vals, np.float64), bins=bins)
+    peak = max(int(counts.max()), 1)
+    out = []
+    for i, c in enumerate(counts):
+        bar = "#" * max(int(round(width * c / peak)), 1 if c else 0)
+        out.append(f"[{edges[i]:7.3f}, {edges[i + 1]:7.3f}) "
+                   f"{int(c):5d} {bar}")
+    return out
+
+
+def _save_hist_png(vals: Sequence[float], metric: str, fig_dir: str):
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    os.makedirs(fig_dir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(list(vals), bins=20)
+    ax.set_xlabel(metric)
+    ax.set_ylabel("#utterances")
+    fig.tight_layout()
+    fig.savefig(os.path.join(fig_dir, f"{metric}_hist.png"))
+    plt.close(fig)
