@@ -122,16 +122,79 @@ def collate_speech_text(samples: List[Dict[str, Any]],
     return out
 
 
+_PROC_STATE: Dict[str, Any] = {}
+
+
+def _proc_init(dataset, collate_fn):
+    _PROC_STATE["ds"] = dataset
+    _PROC_STATE["collate"] = collate_fn
+    _PROC_STATE["seed"] = None
+
+
+def _proc_load(task):
+    indices, epoch_seed = task
+    ds = _PROC_STATE["ds"]
+    if epoch_seed is not None and _PROC_STATE["seed"] != epoch_seed \
+            and hasattr(ds, "set_epoch_seed"):
+        ds.set_epoch_seed(epoch_seed)
+        _PROC_STATE["seed"] = epoch_seed
+    return _PROC_STATE["collate"]([ds[i] for i in indices])
+
+
 class EpochLoader:
     """Iterate one epoch of batches: fetch items in a thread pool, collate,
-    and prefetch ahead of the consumer."""
+    and prefetch ahead of the consumer.
+
+    ``num_worker_procs > 0`` switches item loading + collation to a
+    persistent process pool (the torch-DataLoader-workers analog,
+    iterator/abs.py:428-439): numpy reads and pad-copies are GIL-bound, so
+    threads cannot scale them — processes can. The dataset and collate_fn
+    are shipped to the workers once at pool creation; augmentation RNG then
+    lives per-process (same per-epoch seed, draws depend on which worker
+    serves a batch)."""
 
     def __init__(self, iterator: Iterator, collate_fn: Callable,
-                 num_workers: int = 4, prefetch: int = 2):
+                 num_workers: int = 4, prefetch: int = 2,
+                 num_worker_procs: int = 0):
         self.iterator = iterator
         self.collate_fn = collate_fn
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.num_worker_procs = int(num_worker_procs or 0)
+        self._proc_pool = None
+
+    def _get_proc_pool(self):
+        if self._proc_pool is None:
+            import atexit
+            from concurrent.futures import ProcessPoolExecutor
+            self._proc_pool = ProcessPoolExecutor(
+                self.num_worker_procs, initializer=_proc_init,
+                initargs=(self.iterator.dataset, self.collate_fn))
+            # shut the pool down before interpreter teardown (a GC'd
+            # executor at exit spews a harmless but noisy weakref error)
+            atexit.register(self.close)
+        return self._proc_pool
+
+    def close(self):
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
+            self._proc_pool = None
+
+    def _proc_epoch(self, batches, epoch_seed) -> PyIterator[Dict]:
+        pool = self._get_proc_pool()
+        window = max(self.prefetch, self.num_worker_procs) + 1
+        pending = []
+        it = iter(batches)
+        try:
+            for idxs in it:
+                pending.append(pool.submit(_proc_load, (idxs, epoch_seed)))
+                if len(pending) >= window:
+                    yield pending.pop(0).result()
+            while pending:
+                yield pending.pop(0).result()
+        finally:
+            for f in pending:
+                f.cancel()
 
     def _load_batch(self, indices: List[str], pool) -> Dict[str, Any]:
         if pool is not None:
@@ -142,6 +205,9 @@ class EpochLoader:
 
     def epoch(self, epoch: int = 0, start_step: int = 0) -> PyIterator[Dict]:
         batches = self.iterator.get_batch_indices(epoch)[start_step:]
+        if self.num_worker_procs > 0:
+            yield from self._proc_epoch(batches, self.iterator.seed + epoch)
+            return
         if hasattr(self.iterator.dataset, "set_epoch_seed"):
             self.iterator.dataset.set_epoch_seed(self.iterator.seed + epoch)
         pool = (ThreadPoolExecutor(self.num_workers)

@@ -70,6 +70,10 @@ def parse_args(argv=None):
     p.add_argument("--num_workers", type=int, default=4,
                    help="host loader worker threads (reference DataLoader "
                         "num_workers)")
+    p.add_argument("--num_worker_procs", type=int, default=0,
+                   help="host loader worker PROCESSES (collate included); "
+                        "use on multi-core hosts where the GIL caps the "
+                        "thread loader — counterproductive on 1-core hosts")
     return p.parse_args(argv)
 
 
@@ -182,7 +186,7 @@ def expand_infer_cfg(infer_cfg) -> Dict[str, Dict]:
 
 def build_data(data_cfg: Dict, split: str, tokenizer, *, batch_bucket=8,
                time_bucket=None, token_bucket=16, num_workers=4,
-               spk2idx=None):
+               num_worker_procs=0, spk2idx=None):
     """data_cfg[split] -> EpochLoader or MultiLoader (runner.py:549-659)."""
     from speechain_tpu.data.loader import (EpochLoader, MultiLoader,
                                            collate_speech_text)
@@ -199,7 +203,8 @@ def build_data(data_cfg: Dict, split: str, tokenizer, *, batch_bucket=8,
         collate = partial(collate_speech_text, tokenizer=tokenizer,
                           time_bucket=tb, token_bucket=token_bucket,
                           batch_bucket=batch_bucket, spk2idx=spk2idx)
-        return EpochLoader(it, collate, num_workers=num_workers)
+        return EpochLoader(it, collate, num_workers=num_workers,
+                           num_worker_procs=num_worker_procs)
 
     if "type" in spec:
         return one(spec)
@@ -279,6 +284,7 @@ def train_main(cfg: Dict, args):
             batch_bucket=args.batch_bucket,
             time_bucket=args.time_bucket, token_bucket=args.token_bucket,
             num_workers=getattr(args, "num_workers", 4),
+            num_worker_procs=getattr(args, "num_worker_procs", 0),
             spk2idx=build_spk2idx(customize.get("spk_list")))
 
     # ---- model + optimizer + mesh --------------------------------------
