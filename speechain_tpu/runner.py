@@ -446,6 +446,33 @@ def train_main(cfg: Dict, args):
                             epoch, plot_type="matrix")
                 except Exception:
                     logger.exception("visualization snapshot failed")
+            elif family in ("artts", "fastspeech2") and vis_every \
+                    and epoch % vis_every == 0:
+                # mel + alignment snapshots (reference model/ar_tts.py
+                # visualize branch: teacher-forced prediction heatmaps)
+                try:
+                    vb = next(loaders["valid"].epoch(epoch))
+                    dvb = to_device_batch(vb, epoch)
+                    one = {k: v[:1] for k, v in dvb.items()
+                           if hasattr(v, "ndim") and v.ndim > 0}
+                    fam_args, _ = family_init_args(family, one)
+                    kw = {"return_att": True} if family == "artts" else {}
+                    outputs = net.apply(
+                        {"params": state.params, **state.mutables},
+                        *fam_args, train=False, rngs={"dropout": ep_rng},
+                        **kw)
+                    T_v = int(outputs["tgt_feat_len"][0])
+                    monitor.shooter.snapshot(
+                        {"pred_mel": np.asarray(
+                            outputs["pred_after"][0, :T_v]).T},
+                        epoch, plot_type="matrix")
+                    if "cross_att" in outputs:
+                        monitor.shooter.snapshot(
+                            {"tts_cross_att_layer0_head0":
+                             np.asarray(outputs["cross_att"][0, 0])},
+                            epoch, plot_type="matrix")
+                except Exception:
+                    logger.exception("visualization snapshot failed")
 
             ckpt.save_epoch_model(epoch, state.params, state.mutables)
             decision = tracker.update(epoch, valid_summary)
