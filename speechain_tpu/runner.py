@@ -302,6 +302,8 @@ def train_main(cfg: Dict, args):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(
         variables["params"]))
     logger.info("model %s: %.2fM parameters", mtype, n_params / 1e6)
+    from speechain_tpu.train.monitor import model_summary
+    logger.info("%s", model_summary(variables["params"], name=mtype))
 
     # pretrained-model loading with key mapping (model/abs.py:171-234)
     pretrained = (model_cfg.get("model_conf", {}) or {}).get(

@@ -46,6 +46,32 @@ def setup_logger(log_path: str, name: str = "speechain_tpu"
     return logger
 
 
+def model_summary(params, name: str = "model") -> str:
+    """Human-readable parameter table (utilbox/log_util.py:98-166): per
+    top-level module counts, total, and fp32 size."""
+    import jax
+
+    def human(n: float) -> str:
+        for label, div in (("B", 1e9), ("M", 1e6), ("K", 1e3)):
+            if n >= div:
+                return f"{n / div:.2f} {label}"
+        return f"{n:.0f}"
+
+    groups: Dict[str, int] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        top = str(getattr(path[0], "key", path[0])) if path else "(root)"
+        groups[top] = groups.get(top, 0) + int(np.prod(leaf.shape))
+    total = sum(groups.values())
+    width = max((len(k) for k in groups), default=4)
+    lines = [f"Model summary: {name}"]
+    for k in sorted(groups, key=groups.get, reverse=True):
+        lines.append(f"    {k:<{width}}  {human(groups[k]):>9}  "
+                     f"({groups[k] * 100.0 / max(total, 1):5.1f}%)")
+    lines.append(f"    {'TOTAL':<{width}}  {human(total):>9}  "
+                 f"(fp32 size {human(total * 4)}B)")
+    return "\n".join(lines)
+
+
 class SnapShooter:
     """Background figure/TensorBoard writer fed by a queue
     (snapshooter.py:352-491)."""
