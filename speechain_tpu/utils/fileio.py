@@ -152,8 +152,14 @@ def read_data_by_path(path: str, return_sample_rate: bool = False,
     sample_rate = None
     if ":" in path and not os.path.exists(path):
         archive, _, index = path.rpartition(":")
-        with np.load(archive) as z:
-            data = z[index]
+        if archive.endswith((".hdf5", ".h5")):
+            # hdf5 chunk addressing (data_loading_util.py:56-58)
+            import h5py
+            with h5py.File(archive, "r") as reader:
+                data = np.array(reader[index])
+        else:
+            with np.load(archive) as z:
+                data = z[index]
     elif path.endswith(".npy"):
         data = np.load(path)
     elif path.endswith(".npz"):

@@ -162,3 +162,87 @@ def test_multi_optimizer_routing():
     assert abs(float(updates["encoder"]["w"][0])) > 1e-6
     assert float(jnp.abs(updates["decoder"]["w"]).max()) < 1e-12
     assert float(jnp.abs(updates["other"]["w"]).max()) < 1e-12
+
+
+def test_hdf5_chunk_roundtrip(tmp_path):
+    """data_packager --comp_format hdf5 -> chunk_N.hdf5:idx addressing
+    (reference data_loading_util.py:56-58)."""
+    import numpy as np
+
+    from speechain_tpu.pyscripts.data_packager import main
+    from speechain_tpu.utils.fileio import (read_data_by_path,
+                                            read_idx2data_file,
+                                            write_idx2data_file)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idx2feat = {}
+    for i in range(5):
+        p = str(src / f"u{i}.npy")
+        np.save(p, np.full((4, 3), i, np.float32))
+        idx2feat[f"u{i}"] = p
+    write_idx2data_file(idx2feat, str(tmp_path / "idx2feat"))
+    main(["--data_path", str(tmp_path / "idx2feat"),
+          "--save_path", str(tmp_path / "out"),
+          "--chunk_size", "3", "--comp_format", "hdf5"])
+    m = read_idx2data_file(str(tmp_path / "out" / "idx2feat"))
+    assert m["u4"].endswith("chunk_1.hdf5:u4")
+    for i in range(5):
+        d = read_data_by_path(m[f"u{i}"])
+        assert d.shape == (4, 3) and (d == i).all()
+
+
+def test_process_pool_loader_matches_thread_loader(tmp_path):
+    """num_worker_procs path must yield identical batch order and content
+    to the thread path."""
+    import functools
+    import wave as wavemod
+
+    import numpy as np
+
+    from speechain_tpu.data.dataset import SpeechTextDataset
+    from speechain_tpu.data.iterator import Iterator
+    from speechain_tpu.data.loader import EpochLoader, collate_speech_text
+    from speechain_tpu.data.tokenizer import CharTokenizer
+    from speechain_tpu.utils.fileio import write_idx2data_file
+
+    sr = 8000
+    (tmp_path / "wav").mkdir()
+    idx2wav, idx2text, idx2len = {}, {}, {}
+    for i in range(12):
+        p = str(tmp_path / "wav" / f"u{i}.wav")
+        sig = (np.sin(np.arange(sr) * (0.01 + 0.001 * i)) * 16000
+               ).astype("<i2")
+        with wavemod.open(p, "wb") as f:
+            f.setnchannels(1); f.setsampwidth(2); f.setframerate(sr)
+            f.writeframes(sig.tobytes())
+        idx2wav[f"u{i}"], idx2text[f"u{i}"] = p, "ab"
+        idx2len[f"u{i}"] = sr
+    for name, d in [("idx2wav", idx2wav), ("idx2text", idx2text),
+                    ("idx2wav_len", idx2len)]:
+        write_idx2data_file(d, str(tmp_path / name))
+    (tmp_path / "vocab").write_text(
+        "\n".join(["<blank>", "<unk>", "a", "b", "<sos/eos>"]) + "\n")
+
+    tok = CharTokenizer(token_vocab=str(tmp_path / "vocab"))
+    ds = SpeechTextDataset(main_data=dict(wav=str(tmp_path / "idx2wav"),
+                                          text=str(tmp_path / "idx2text")))
+    it = Iterator(dataset=ds, data_len=str(tmp_path / "idx2wav_len"),
+                  shuffle=True, batch_size=4)
+    collate = functools.partial(collate_speech_text, tokenizer=tok,
+                                time_bucket=1600, batch_bucket=4)
+    thr = EpochLoader(it, collate, num_workers=2)
+    prc = EpochLoader(it, collate, num_worker_procs=2)
+    try:
+        for ep in (0, 1):
+            a, b = list(thr.epoch(ep)), list(prc.epoch(ep))
+            assert [x["indices"] for x in a] == [y["indices"] for y in b]
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(x["feat"], y["feat"])
+                assert x["feat"].dtype == np.int16  # int16 fast path live
+        # early-exit consumer against the pool
+        g = prc.epoch(2)
+        next(g)
+        g.close()
+    finally:
+        prc.close()
