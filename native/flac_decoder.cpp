@@ -183,8 +183,15 @@ extern "C" {
 // Decode a FLAC file. On success returns the number of samples per channel
 // and fills *out (malloc'd interleaved float32, caller frees via
 // flac_free), *sample_rate, *channels. Returns -1 on failure.
-long long flac_decode_file(const char* path, float** out,
-                           int* sample_rate, int* channels) {
+struct DecodedPcm {
+    std::vector<std::vector<int32_t>> ch;   // raw integer samples
+    StreamInfo si;
+    int bps = 0;
+};
+
+// shared bitstream decode: fills raw integer PCM per channel; returns
+// sample count or -1
+static long long flac_decode_raw(const char* path, DecodedPcm& dp) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     fseek(f, 0, SEEK_END);
@@ -222,9 +229,11 @@ long long flac_decode_file(const char* path, float** out,
     }
     if (si.sample_rate == 0 || si.channels == 0) return -1;
 
-    std::vector<std::vector<float>> pcm(si.channels);
+    std::vector<std::vector<int32_t>>& pcm = dp.ch;
+    pcm.assign(si.channels, {});
     if (si.total_samples)
         for (auto& c : pcm) c.reserve((size_t)si.total_samples);
+    int out_bps = 0;
 
     BitReader br(buf.data() + pos, buf.size() - pos);
     std::vector<std::vector<int64_t>> ch_data;
@@ -291,27 +300,58 @@ long long flac_decode_file(const char* path, float** out,
             }
         }
 
-        float scale = 1.0f / (float)(1u << (bps - 1));
+        out_bps = bps;
         for (int c = 0; c < n_ch; ++c)
             for (uint32_t i = 0; i < block_size; ++i)
-                pcm[(size_t)c].push_back((float)ch_data[c][i] * scale);
+                pcm[(size_t)c].push_back((int32_t)ch_data[c][i]);
         if (si.total_samples && pcm[0].size() >= si.total_samples) break;
     }
 
     if (pcm[0].empty()) return -1;
     size_t n = pcm[0].size();
     if (si.total_samples && n > si.total_samples) n = si.total_samples;
-    float* result = (float*)malloc(n * si.channels * sizeof(float));
-    if (!result) return -1;
-    for (size_t i = 0; i < n; ++i)
-        for (uint32_t c = 0; c < si.channels; ++c)
-            result[i * si.channels + c] = pcm[c][i];
-    *out = result;
-    *sample_rate = (int)si.sample_rate;
-    *channels = (int)si.channels;
+    dp.si = si;
+    dp.bps = out_bps;
     return (long long)n;
 }
 
+long long flac_decode_file(const char* path, float** out,
+                           int* sample_rate, int* channels) {
+    DecodedPcm dp;
+    long long n = flac_decode_raw(path, dp);
+    if (n <= 0) return -1;
+    float scale = 1.0f / (float)(1u << (dp.bps - 1));
+    float* result = (float*)malloc((size_t)n * dp.si.channels * sizeof(float));
+    if (!result) return -1;
+    for (long long i = 0; i < n; ++i)
+        for (uint32_t c = 0; c < dp.si.channels; ++c)
+            result[i * dp.si.channels + c] = (float)dp.ch[c][(size_t)i] * scale;
+    *out = result;
+    *sample_rate = (int)dp.si.sample_rate;
+    *channels = (int)dp.si.channels;
+    return n;
+}
+
+// int16 fast path: mono 16-bit streams (the LibriSpeech case) come out as
+// raw PCM so the TPU frontend can apply the exact 2^-15 scale on device.
+// Returns -2 when the stream is not mono/16-bit (caller falls back to the
+// float decoder).
+long long flac_decode_file_i16(const char* path, int16_t** out,
+                               int* sample_rate) {
+    DecodedPcm dp;
+    long long n = flac_decode_raw(path, dp);
+    if (n <= 0) return -1;
+    if (dp.bps != 16 || dp.si.channels != 1) return -2;
+    int16_t* result = (int16_t*)malloc((size_t)n * sizeof(int16_t));
+    if (!result) return -1;
+    for (long long i = 0; i < n; ++i)
+        result[i] = (int16_t)dp.ch[0][(size_t)i];
+    *out = result;
+    *sample_rate = (int)dp.si.sample_rate;
+    return n;
+}
+
 void flac_free(float* p) { free(p); }
+void flac_free_i16(int16_t* p) { free(p); }
 
 }  // extern "C"

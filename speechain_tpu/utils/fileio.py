@@ -130,11 +130,11 @@ def write_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
-def read_flac(path: str) -> tuple:
-    """Read a FLAC file via the native decoder (see native/flacdec.cpp)."""
+def read_flac(path: str, int16: bool = False) -> tuple:
+    """Read a FLAC file via the native decoder (see native/flac_decoder.cpp)."""
     from speechain_tpu.utils import native_audio
 
-    return native_audio.read_flac(path)
+    return native_audio.read_flac(path, int16=int16)
 
 
 # --------------------------------------------------------------------------
@@ -170,7 +170,7 @@ def read_data_by_path(path: str, return_sample_rate: bool = False,
     elif path.endswith(".wav"):
         data, sample_rate = read_wav(path, int16=prefer_int16)
     elif path.endswith(".flac"):
-        data, sample_rate = read_flac(path)
+        data, sample_rate = read_flac(path, int16=prefer_int16)
     else:
         raise ValueError(f"unsupported data file: {path}")
     data = np.asarray(data)

@@ -43,13 +43,38 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.flac_decode_file_i16.restype = ctypes.c_longlong
+        lib.flac_decode_file_i16.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.flac_free_i16.argtypes = [ctypes.POINTER(ctypes.c_int16)]
         _LIB = lib
     return _LIB
 
 
-def read_flac(path: str) -> Tuple[np.ndarray, int]:
-    """Decode a FLAC file to (mono float32 in [-1, 1], sample_rate)."""
+def read_flac(path: str, int16: bool = False) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file to (mono float32 in [-1, 1], sample_rate).
+
+    int16=True: mono 16-bit streams return raw int16 PCM (the device-side
+    frontend applies the exact 2^-15 scale, ops/frontend.to_float_wave);
+    other layouts fall back to float.
+    """
     lib = _load()
+    if int16:
+        out16 = ctypes.POINTER(ctypes.c_int16)()
+        sr16 = ctypes.c_int()
+        n16 = lib.flac_decode_file_i16(path.encode(), ctypes.byref(out16),
+                                       ctypes.byref(sr16))
+        if n16 > 0:
+            try:
+                arr16 = np.ctypeslib.as_array(out16, shape=(int(n16),)).copy()
+            finally:
+                lib.flac_free_i16(out16)
+            return arr16, int(sr16.value)
+        if n16 != -2:  # -2 = not mono/16-bit -> float fallback below
+            raise ValueError(f"failed to decode FLAC file {path!r}")
     out = ctypes.POINTER(ctypes.c_float)()
     sr = ctypes.c_int()
     ch = ctypes.c_int()

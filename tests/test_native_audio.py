@@ -171,3 +171,27 @@ def test_flac_via_generic_reader(tmp_path):
     write_flac(path, pcm, sr=16000)
     wave, sr = read_data_by_path(path, return_sample_rate=True)
     assert sr == 16000 and len(wave) == 4000
+
+
+def test_flac_int16_fast_path(tmp_path):
+    """Mono 16-bit FLAC decodes to raw int16 PCM losslessly; stereo falls
+    back to float (native flac_decode_file_i16)."""
+    from speechain_tpu.utils.fileio import read_data_by_path, read_flac
+
+    rng = np.random.default_rng(7)
+    pcm = (rng.normal(size=(8000, 1)) * 6000).astype(np.int16)
+    p = str(tmp_path / "m.flac")
+    write_flac(p, pcm, sr=16000)
+    wf, sr = read_flac(p)
+    wi, sr2 = read_flac(p, int16=True)
+    assert wi.dtype == np.int16 and sr == sr2 == 16000
+    np.testing.assert_array_equal(wi, pcm[:, 0])
+    np.testing.assert_array_equal(
+        wf, wi.astype(np.float32) * np.float32(2.0 ** -15))
+    assert read_data_by_path(p, prefer_int16=True).dtype == np.int16
+
+    st = (rng.normal(size=(4000, 2)) * 6000).astype(np.int16)
+    p2 = str(tmp_path / "s.flac")
+    write_flac(p2, st, sr=16000)
+    w2, _ = read_flac(p2, int16=True)
+    assert w2.dtype == np.float32  # stereo -> float fallback
