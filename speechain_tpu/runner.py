@@ -612,7 +612,12 @@ def test_main(cfg: Dict, args):
           beam_size=int(infer_cfg.get("beam_size", 4)),
           temperature=float(infer_cfg.get("temperature", 1.0)),
           ctc_weight=float(infer_cfg.get("ctc_weight", 0.0)),
+          ctc_temperature=float(infer_cfg.get("ctc_temperature", 1.0)),
           length_penalty=float(infer_cfg.get("length_penalty", 1.0)),
+          min_f2t_ratio=float(infer_cfg.get("min_f2t_ratio", 3.0)),
+          eos_filtering=bool(infer_cfg.get("eos_filtering", False)),
+          eos_threshold=float(infer_cfg.get("eos_threshold", 1.5)),
+          sent_per_beam=int(infer_cfg.get("sent_per_beam", 1)),
           **lm_kwargs)
       for set_name in (test_loaders or {"valid": None}):
         loader = build_data(cfg["data_cfg"], set_name, tokenizer,
