@@ -733,13 +733,35 @@ def tts_test_main(cfg, args, net, net_cfg, tokenizer, variables, name,
                 feat, feat_len = out["hypo_feat"], out["hypo_feat_len"]
                 feat = net.apply(variables, feat, method=net.recover_feat)
             else:
+                # controllable TTS (model/nar_tts.py:706-785): fixed or
+                # random duration/pitch/energy multipliers from infer_cfg
+                from speechain_tpu.models.nar_tts import generate_ctrl_alpha
+                alphas = {}
+                for kind in ("duration", "pitch", "energy"):
+                    a = infer_cfg.get(f"{kind}_alpha")
+                    if a is None:
+                        continue
+                    if isinstance(a, (int, float)):
+                        alphas[f"{kind}_alpha"] = generate_ctrl_alpha(
+                            None, text.shape[0], text.shape[1],
+                            alpha=float(a))
+                    else:  # dict: {alpha_min, alpha_max, granularity}
+                        alphas[f"{kind}_alpha"] = generate_ctrl_alpha(
+                            jax.random.PRNGKey(
+                                int(a.get("seed", 0))), text.shape[0],
+                            text.shape[1],
+                            alpha_min=float(a.get("alpha_min", 0.8)),
+                            alpha_max=float(a.get("alpha_max", 1.2)),
+                            granularity=a.get("granularity", "utterance"))
                 fs_out = net.apply(
                     variables, text, text_len,
                     spk_feat=(jnp.asarray(batch["spk_feat"])
                               if "spk_feat" in batch else None),
                     train=False, max_frames=int(infer_cfg.get(
                         "max_frames", 1024)),
-                    rngs={"dropout": jax.random.PRNGKey(0)})
+                    min_frame_num=int(infer_cfg.get("min_frame_num", 0)),
+                    max_frame_num=infer_cfg.get("max_frame_num", 50),
+                    rngs={"dropout": jax.random.PRNGKey(0)}, **alphas)
                 feat, feat_len = fs_out["pred_after"], fs_out["pred_feat_len"]
                 feat = net.apply(variables, feat, method=net.recover_feat)
             wave, wave_len = logmel_to_wave(
@@ -758,7 +780,9 @@ def tts_test_main(cfg, args, net, net_cfg, tokenizer, variables, name,
                         :int(batch["feat_len"][i])]).reshape(-1)
                     hyp = np.asarray(wave[i][:nlen])
                     try:
-                        idx2mcd[idx] = mcd(hyp, ref, net_cfg.frontend.sr)
+                        m = mcd(hyp, ref, net_cfg.frontend.sr)
+                        if m is not None:
+                            idx2mcd[idx] = m
                         f0 = log_f0_rmse(hyp, ref, net_cfg.frontend.sr)
                         if f0 is not None:
                             idx2f0[idx] = f0

@@ -118,9 +118,19 @@ def dtw_path(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 MCD_COEFF = 10.0 / np.log(10.0) * np.sqrt(2.0)
 
 
-def mcd(hypo_wave: np.ndarray, refer_wave: np.ndarray, sr: int) -> float:
+def _too_short(*waves, sr) -> bool:
+    # below one analysis window no frame exists (e.g. an untrained FS2
+    # predicts all-zero durations -> empty synthesis); callers record the
+    # utterance as unscoreable instead of crashing
+    return any(len(np.reshape(w, -1)) < int(0.05 * sr) for w in waves)
+
+
+def mcd(hypo_wave: np.ndarray, refer_wave: np.ndarray, sr: int
+        ) -> Optional[float]:
     """Mel-cepstral distortion over DTW-aligned MFCC frames
-    (tts_evaluation.py:89-114)."""
+    (tts_evaluation.py:89-114). None if either wave is too short."""
+    if _too_short(hypo_wave, refer_wave, sr=sr):
+        return None
     h = wav_to_mfcc(hypo_wave, sr)
     r = wav_to_mfcc(refer_wave, sr)
     pa, pb = dtw_path(h, r)
@@ -128,8 +138,12 @@ def mcd(hypo_wave: np.ndarray, refer_wave: np.ndarray, sr: int) -> float:
         np.sqrt(((h[pa] - r[pb]) ** 2).sum(-1))))
 
 
-def msd(hypo_wave: np.ndarray, refer_wave: np.ndarray, sr: int) -> float:
-    """Mel-spectral distortion over DTW-aligned log-Mels."""
+def msd(hypo_wave: np.ndarray, refer_wave: np.ndarray, sr: int
+        ) -> Optional[float]:
+    """Mel-spectral distortion over DTW-aligned log-Mels. None if either
+    wave is too short."""
+    if _too_short(hypo_wave, refer_wave, sr=sr):
+        return None
     h = wav_to_logmel(hypo_wave, sr)
     r = wav_to_logmel(refer_wave, sr)
     pa, pb = dtw_path(h, r)
@@ -140,7 +154,9 @@ def msd(hypo_wave: np.ndarray, refer_wave: np.ndarray, sr: int) -> float:
 def log_f0_rmse(hypo_wave: np.ndarray, refer_wave: np.ndarray, sr: int
                 ) -> Optional[float]:
     """RMSE of log-F0 over frames voiced in BOTH tracks
-    (tts_evaluation.py:116-128)."""
+    (tts_evaluation.py:116-128). None if either wave is too short."""
+    if _too_short(hypo_wave, refer_wave, sr=sr):
+        return None
     h = wav_to_pitch(hypo_wave, sr)
     r = wav_to_pitch(refer_wave, sr)
     pa, pb = dtw_path(h, r)
