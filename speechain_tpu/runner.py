@@ -607,6 +607,11 @@ def test_main(cfg: Dict, args):
               lm_temperature=float(infer_cfg.get("lm_temperature", 1.0)),
               lm_window_size=infer_cfg.get("lm_window_size"),
               ilm_sub_weight=float(infer_cfg.get("ilm_sub_weight", 0.0)))
+      teacher = bool(infer_cfg.get("teacher_forcing", False))
+      if teacher:
+          from speechain_tpu.infer.asr import make_asr_teacher_scorer
+          teacher_fn = make_asr_teacher_scorer(
+              net, temperature=float(infer_cfg.get("temperature", 1.0)))
       decode_fn = make_asr_decoder(
           net,
           beam_size=int(infer_cfg.get("beam_size", 4)),
@@ -628,6 +633,7 @@ def test_main(cfg: Dict, args):
                                *( [run_name] if run_name else [] ), set_name)
         progress_path = os.path.join(out_dir, "tmp_progress.json")
         idx2hypo, idx2cer, idx2wer = {}, {}, {}
+        idx2confid, idx2ratio, idx2nbest = {}, {}, {}
         if os.path.exists(progress_path):
             # resumable evaluation (runner.py:1540-1548 per-rank
             # checkpoints): skip already-decoded utterances
@@ -635,6 +641,9 @@ def test_main(cfg: Dict, args):
                 saved = json.load(f)
             idx2hypo, idx2cer, idx2wer = (saved["hypo"], saved["cer"],
                                           saved["wer"])
+            idx2confid = saved.get("confid", {})
+            idx2ratio = saved.get("ratio", {})
+            idx2nbest = saved.get("nbest", {})
             logger.info("resuming evaluation: %d utterances done",
                         len(idx2hypo))
         done = set(idx2hypo)
@@ -643,8 +652,18 @@ def test_main(cfg: Dict, args):
             if all(idx in done for idx in batch["indices"]):
                 continue
             try:
-                out = decode_fn(variables, jnp.asarray(batch["feat"]),
-                                jnp.asarray(batch["feat_len"]))
+                if teacher:
+                    # teacher-forced confidence scoring of the ground-truth
+                    # text (model/ar_asr.py:874-921) — the chain recipes
+                    # filter pseudo-labeled data on these outputs
+                    out = teacher_fn(variables,
+                                     jnp.asarray(batch["feat"]),
+                                     jnp.asarray(batch["feat_len"]),
+                                     jnp.asarray(batch["text"]),
+                                     jnp.asarray(batch["text_len"]))
+                else:
+                    out = decode_fn(variables, jnp.asarray(batch["feat"]),
+                                    jnp.asarray(batch["feat_len"]))
             except Exception:
                 # batch-level fault tolerance (runner.py:1521-1531)
                 if not getattr(args, "ignore_test_exception", False):
@@ -660,12 +679,21 @@ def test_main(cfg: Dict, args):
             for i, idx in enumerate(batch["indices"]):
                 idx2hypo[idx], idx2cer[idx], idx2wer[idx] = \
                     hyps[i], cers[i], wers[i]
+                idx2confid[idx] = float(out["hypo_text_confid"][i])
+                idx2ratio[idx] = float(out["feat_token_len_ratio"][i])
+                if "nbest_text" in out:
+                    idx2nbest[idx] = " | ".join(
+                        tokenizer.tensor2text(np.asarray(
+                            out["nbest_text"][i, j][
+                                :int(out["nbest_text_len"][i, j])]))
+                        for j in range(out["nbest_text"].shape[1]))
             steps_since_save += 1
             if steps_since_save >= 10:
                 os.makedirs(out_dir, exist_ok=True)
                 with open(progress_path, "w") as f:
                     json.dump(dict(hypo=idx2hypo, cer=idx2cer,
-                                   wer=idx2wer), f)
+                                   wer=idx2wer, confid=idx2confid,
+                                   ratio=idx2ratio, nbest=idx2nbest), f)
                 steps_since_save = 0
         if os.path.exists(progress_path):
             os.remove(progress_path)
@@ -675,6 +703,13 @@ def test_main(cfg: Dict, args):
         write_test_reports(out_dir,
                            idx2hypo=idx2hypo, idx2cer=idx2cer,
                            idx2wer=idx2wer, summary=summary)
+        from speechain_tpu.utils.reports import write_idx2_file
+        write_idx2_file({k: f"{v:.4f}" for k, v in idx2confid.items()},
+                        os.path.join(out_dir, "idx2text_confid"))
+        write_idx2_file({k: f"{v:.4f}" for k, v in idx2ratio.items()},
+                        os.path.join(out_dir, "idx2feat_token_len_ratio"))
+        if idx2nbest:
+            write_idx2_file(idx2nbest, os.path.join(out_dir, "idx2nbest"))
         all_results[f"{run_name}/{set_name}" if run_name
                     else set_name] = summary
     return all_results
