@@ -294,6 +294,9 @@ def train_main(cfg: Dict, args):
             isinstance(v, dict) for v in first_batch.values()) \
             and "feat" not in first_batch:
         # multi-domain: initialize from the first named stream
+        if family not in ("asr", "artts"):
+            raise ValueError("multi-dataloader training supports asr/artts, "
+                             f"not {family}")
         first_batch = next(iter(first_batch.values()))
     init_args, init_kwargs = family_init_args(family, first_batch)
     variables = net.init(
@@ -325,17 +328,22 @@ def train_main(cfg: Dict, args):
     from speechain_tpu.data.loader import MultiLoader
     multi_domain = isinstance(loaders["train"], MultiLoader)
     if multi_domain:
-        from speechain_tpu.train.state import make_multi_domain_arasr_step
+        from speechain_tpu.train.state import (make_multi_domain_arasr_step,
+                                               make_multi_domain_artts_step)
         loss_weights = cfg["train_cfg"].get("loss_weights") \
             or cfg.get("loss_weights")
+        md_factory = (make_multi_domain_artts_step if family == "artts"
+                      else make_multi_domain_arasr_step)
+        if family not in ("asr", "artts"):
+            raise ValueError(
+                f"multi-dataloader training supports asr/artts, not {family}")
         jtrain = train_step_under_mesh(
-            make_multi_domain_arasr_step(
-                net, net_cfg, tx, loss_weights=loss_weights,
-                axis_name="data", train=True), mesh)
-        from speechain_tpu.train.state import make_arasr_step
+            md_factory(net, net_cfg, tx, loss_weights=loss_weights,
+                       axis_name="data", train=True), mesh)
+        mk_valid = family_step_factory(family)
         jvalid = train_step_under_mesh(
-            make_arasr_step(net, net_cfg, tx, axis_name="data",
-                            train=False), mesh, donate_state=False)
+            mk_valid(net, net_cfg, tx, axis_name="data",
+                     train=False), mesh, donate_state=False)
     else:
         mk_step = family_step_factory(family)
         jtrain = train_step_under_mesh(

@@ -211,6 +211,92 @@ def make_lm_step(net, tx, *, label_smoothing: float = 0.0,
                                train=train)
 
 
+def make_multi_domain_step(apply_loss, tx, *,
+                           loss_weights: Optional[Dict[str, float]] = None,
+                           axis_name: Optional[str] = "data",
+                           train: bool = True) -> Callable:
+    """Generic multi-dataloader step over any family's apply_loss closure
+    (the MultiDomainARTTS analog of make_multi_domain_arasr_step,
+    model/ar_tts.py:977): batch = {domain: sub-batch}; total loss is the
+    loss_weights-weighted sum normalized by the weight sum."""
+
+    def step_fn(state: TrainState, batches: Dict[str, Dict[str, Array]],
+                rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        rng = jax.random.fold_in(rng, state.step)
+        domains = sorted(batches.keys())
+        weights = {d: float((loss_weights or {}).get(d, 1.0))
+                   for d in domains}
+        w_sum = sum(weights.values())
+
+        def loss_fn(params):
+            mutables = dict(state.mutables)
+            total = 0.0
+            metrics: Dict[str, Array] = {}
+            for i, d in enumerate(domains):
+                k = jax.random.fold_in(rng, i)
+                d_loss, (d_metrics, new_mut) = apply_loss(
+                    params, mutables, batches[d], k, train)
+                mutables.update(new_mut)
+                total = total + weights[d] * d_loss
+                metrics.update({f"{d}_{mk}": mv
+                                for mk, mv in d_metrics.items()})
+            total = total / w_sum
+            metrics["loss"] = total
+            return total, (metrics, mutables)
+
+        if train:
+            grads, (metrics, new_mut) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(state.step + 1, params, new_opt, new_mut)
+        else:
+            _, (metrics, _) = loss_fn(state.params)
+        if axis_name is not None:
+            metrics = {k: jax.lax.pmean(v, axis_name)
+                       for k, v in metrics.items()}
+        return state, metrics
+
+    return step_fn
+
+
+def make_multi_domain_artts_step(net, cfg, tx, *,
+                                 loss_weights: Optional[Dict[str, float]]
+                                 = None,
+                                 axis_name: Optional[str] = "data",
+                                 train: bool = True) -> Callable:
+    """Multi-dataloader AR-TTS step (MultiDomainARTTS,
+    model/ar_tts.py:977-...): per-domain artts_loss, weighted sum."""
+    from speechain_tpu.models.ar_tts import artts_loss
+
+    mutable_keys = ("norm_stats", "batch_stats")
+
+    def apply_loss(params, mutables, batch, rng, is_train):
+        variables = {"params": params, **mutables}
+        mut = [k for k in mutable_keys if k in mutables] if is_train else []
+        epoch = batch.get("epoch", jnp.zeros((), jnp.int32))
+        kwargs = dict(train=is_train, epoch=epoch, axis_name=axis_name,
+                      spk_ids=batch.get("spk_ids"),
+                      spk_feat=batch.get("spk_feat"),
+                      rngs={"dropout": rng})
+        if mut:
+            outputs, new_mut = net.apply(
+                variables, batch["text"], batch["text_len"], batch["feat"],
+                batch["feat_len"], mutable=mut, **kwargs)
+        else:
+            outputs = net.apply(
+                variables, batch["text"], batch["text_len"], batch["feat"],
+                batch["feat_len"], **kwargs)
+            new_mut = {}
+        loss, metrics = artts_loss(outputs, cfg)
+        return loss, (metrics, dict(new_mut))
+
+    return make_multi_domain_step(apply_loss, tx, loss_weights=loss_weights,
+                                  axis_name=axis_name, train=train)
+
+
 def make_multi_domain_arasr_step(net, cfg, tx, *,
                                  loss_weights: Optional[Dict[str, float]]
                                  = None,
