@@ -289,14 +289,20 @@ class MultiLoader:
     def epoch(self, epoch: int = 0, start_step: int = 0):
         iters = {name: ld.epoch(epoch, start_step)
                  for name, ld in self.loaders.items()}
-        while True:
-            batch = {}
-            for name, it in iters.items():
-                nxt = next(it, None)
-                if nxt is None:
-                    return
-                batch[name] = nxt
-            yield batch
+        try:
+            while True:
+                batch = {}
+                for name, it in iters.items():
+                    nxt = next(it, None)
+                    if nxt is None:
+                        return
+                    batch[name] = nxt
+                yield batch
+        finally:
+            # the shortest stream ends the epoch: close the others so their
+            # producer threads/process pools are released immediately
+            for it in iters.values():
+                it.close()
 
     def __len__(self):
         return min(len(ld) for ld in self.loaders.values())

@@ -141,7 +141,11 @@ class MultiHeadedAttention(nn.Module):
             "bhqd,bhkd->bhqk", qh, kh,
             preferred_element_type=jnp.float32) * scale
         if mask is not None:
-            scores = jnp.where(mask[:, None], scores, -jnp.inf)
+            # finite fill, not -inf: fully-masked rows (zero-length batch
+            # padding from bucketed collation) must softmax to a finite
+            # (uniform) distribution instead of NaN that poisons the step
+            scores = jnp.where(mask[:, None], scores,
+                               jnp.finfo(jnp.float32).min)
         attmat = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         att = attmat.astype(self.dtype)
         if self.dropout > 0.0:
@@ -224,7 +228,10 @@ class RelPosMultiHeadedAttention(nn.Module):
                  else 1.0 / math.sqrt(self.d_model))
         scores = (matrix_ac + matrix_bd) * scale
         if mask is not None:
-            scores = jnp.where(mask[:, None], scores, -jnp.inf)
+            # finite fill, not -inf (see MultiHeadedAttention): fully-masked
+            # rows must yield a finite softmax, not NaN
+            scores = jnp.where(mask[:, None], scores,
+                               jnp.finfo(jnp.float32).min)
         attmat = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         att = attmat.astype(self.dtype)
         if self.dropout > 0.0:

@@ -128,11 +128,15 @@ def apply_feat_norm(
             out = out / std_b[:, None, :]
         return (out[..., 0] if squeeze else out), feat_len, stats
 
+    # zero-length rows are batch-bucket padding: exclude them from every
+    # statistic (the reference only ever sees real utterances)
+    validf = (feat_len > 0).astype(jnp.float32)
+
     if cfg.norm_type == "batch":
         if train:
-            bsz = _psum(jnp.asarray(feat.shape[0], jnp.float32), axis_name)
-            bm = _psum(jnp.sum(mean_b, 0), axis_name) / bsz
-            bs = _psum(jnp.sum(std_b, 0), axis_name) / bsz
+            bsz = jnp.maximum(_psum(jnp.sum(validf), axis_name), 1.0)
+            bm = _psum(jnp.sum(mean_b * validf[:, None], 0), axis_name) / bsz
+            bs = _psum(jnp.sum(std_b * validf[:, None], 0), axis_name) / bsz
             out = feat
             if cfg.mean_norm:
                 out = out - bm
@@ -157,6 +161,7 @@ def apply_feat_norm(
         do_update = (jnp.asarray(True) if epoch is None
                      else (epoch <= cfg.max_epoch_num))
         onehot = jax.nn.one_hot(group_ids, G, dtype=jnp.float32)     # (B, G)
+        onehot = onehot * validf[:, None]      # drop zero-length padding rows
         cnt = _psum(jnp.sum(onehot, 0), axis_name)                   # (G,)
         gsum_mean = _psum(onehot.T @ mean_b, axis_name)              # (G, D)
         gsum_std = _psum(onehot.T @ std_b, axis_name)

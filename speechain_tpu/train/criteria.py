@@ -78,7 +78,9 @@ def accuracy(logits: Array, text: Array, text_len: Array) -> Array:
     pred = jnp.argmax(logits, axis=-1) if logits.ndim == text.ndim + 1 else logits
     mask = _len_mask(text_len, text.shape[1])
     correct = jnp.sum(jnp.where(mask, pred == text, False))
-    return correct / jnp.maximum(jnp.sum(text_len), 1)
+    # clamp per-row lengths: zero-length padding rows arrive as -1 after
+    # _maybe_shift and must not deflate the denominator
+    return correct / jnp.maximum(jnp.sum(jnp.maximum(text_len, 0)), 1)
 
 
 def perplexity(logits: Array, text: Array, text_len: Array) -> Array:
@@ -109,8 +111,12 @@ def ctc_loss(ctc_logits: Array, logit_len: Array, text: Array,
     label_paddings = 1.0 - _len_mask(text_len, text.shape[1]).astype(jnp.float32)
     per_seq = optax.ctc_loss(ctc_logits.astype(jnp.float32), logit_paddings,
                              text, label_paddings, blank_id=blank_id)
-    valid = (text_len > 0).astype(jnp.float32)
-    return jnp.sum(per_seq * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    valid = text_len > 0
+    # where, not multiply: a NaN/inf per_seq on an invalid (zero-length
+    # padding) row must be dropped, and NaN * 0 is still NaN
+    per_seq = jnp.where(valid, per_seq, 0.0)
+    validf = valid.astype(jnp.float32)
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(validf), 1.0)
 
 
 def least_error(pred: Array, tgt: Array, tgt_len: Array, *,

@@ -19,9 +19,10 @@ _LIB: Optional[ctypes.CDLL] = None
 def _find_lib() -> str:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    # env override first: users must be able to substitute their own build
     candidates = [
-        os.path.join(here, "native", "libspeechain_native.so"),
         os.environ.get("SPEECHAIN_NATIVE_LIB", ""),
+        os.path.join(here, "native", "libspeechain_native.so"),
     ]
     for c in candidates:
         if c and os.path.exists(c):
