@@ -92,7 +92,9 @@ def _encoder_type(block: Dict) -> str:
 
 def build_arasr(module_conf: Dict, vocab_size: int,
                 customize_conf: Optional[Dict] = None,
-                dtype=jnp.float32) -> Tuple[ARASRNet, ARASRConfig]:
+                dtype=jnp.float32,
+                bn_axis_name: Optional[str] = None
+                ) -> Tuple[ARASRNet, ARASRConfig]:
     """ARASR from a reference-style ``module_conf`` block
     (model/ar_asr.py:37-339 surface)."""
     customize_conf = customize_conf or {}
@@ -114,7 +116,7 @@ def build_arasr(module_conf: Dict, vocab_size: int,
         att_guid_sigma=float(customize_conf.get("att_guid_sigma", 0.0)),
         dtype=dtype,
     )
-    return ARASRNet(cfg=cfg), cfg
+    return ARASRNet(cfg=cfg, bn_axis_name=bn_axis_name), cfg
 
 
 def _spk_emb_conf(module_conf: Dict, customize_conf: Dict) -> Optional[Dict]:
@@ -131,7 +133,9 @@ def _spk_emb_conf(module_conf: Dict, customize_conf: Dict) -> Optional[Dict]:
 
 def build_artts(module_conf: Dict, vocab_size: int,
                 customize_conf: Optional[Dict] = None,
-                dtype=jnp.float32) -> Tuple[ARTTSNet, ARTTSConfig]:
+                dtype=jnp.float32,
+                bn_axis_name: Optional[str] = None
+                ) -> Tuple[ARTTSNet, ARTTSConfig]:
     customize_conf = customize_conf or {}
     dec_block = module_conf.get("decoder", {})
     dec_conf = _conf(dec_block) if "type" not in dec_block else \
@@ -166,12 +170,13 @@ def build_artts(module_conf: Dict, vocab_size: int,
         att_guid_sigma=float(customize_conf.get("att_guid_sigma", 0.0)),
         dtype=dtype,
     )
-    return ARTTSNet(cfg=cfg), cfg
+    return ARTTSNet(cfg=cfg, bn_axis_name=bn_axis_name), cfg
 
 
 def build_fastspeech2(module_conf: Dict, vocab_size: int,
                       customize_conf: Optional[Dict] = None,
-                      dtype=jnp.float32
+                      dtype=jnp.float32,
+                      bn_axis_name: Optional[str] = None
                       ) -> Tuple[FastSpeech2Net, FastSpeech2Config]:
     customize_conf = customize_conf or {}
     frontend = build_frontend_config(
@@ -201,12 +206,14 @@ def build_fastspeech2(module_conf: Dict, vocab_size: int,
         feat_loss_type=customize_conf.get("feat_loss_type", "L1"),
         dtype=dtype,
     )
-    return FastSpeech2Net(cfg=cfg), cfg
+    return FastSpeech2Net(cfg=cfg, bn_axis_name=bn_axis_name), cfg
 
 
 def build_lm(module_conf: Dict, vocab_size: int,
              customize_conf: Optional[Dict] = None,
-             dtype=jnp.float32) -> Tuple[LanguageModelNet, LMConfig]:
+             dtype=jnp.float32,
+             bn_axis_name: Optional[str] = None,  # no BN in the LM
+             ) -> Tuple[LanguageModelNet, LMConfig]:
     cfg = LMConfig(
         vocab_size=vocab_size,
         emb=_conf(module_conf.get("emb") or module_conf.get("dec_emb")),
@@ -230,12 +237,18 @@ MODEL_BUILDERS = {
 }
 
 
-def build_model(model_cfg: Dict, vocab_size: int, dtype=jnp.float32):
-    """train_cfg.model block -> (net, cfg, builder_key)."""
+def build_model(model_cfg: Dict, vocab_size: int, dtype=jnp.float32,
+                bn_axis_name: Optional[str] = None):
+    """train_cfg.model block -> (net, cfg, builder_key).
+
+    bn_axis_name: mesh axis for cross-replica BatchNorm statistics — the
+    SyncBatchNorm analog (reference runner.py:1858). The training runner
+    passes its dp axis so shard_map numerics are batch-layout invariant.
+    """
     mtype = model_cfg["model_type"]
     builder = MODEL_BUILDERS[mtype]
     customize = (model_cfg.get("model_conf", {}) or {}).get(
         "customize_conf", {})
     net, cfg = builder(model_cfg.get("module_conf", {}), vocab_size,
-                       customize, dtype=dtype)
+                       customize, dtype=dtype, bn_axis_name=bn_axis_name)
     return net, cfg, mtype

@@ -32,6 +32,39 @@ from speechain_tpu.nn.posenc import RelPositionalEncoding
 Array = jnp.ndarray
 
 
+class DepthwiseConv1d(nn.Module):
+    """Depthwise 'SAME' conv as an unrolled shift-multiply-accumulate.
+
+    Deliberately NOT ``nn.Conv(feature_group_count=C)``: the XLA SPMD
+    partitioner produces a wrong (not merely reordered) gradient for the
+    grouped-convolution kernel on meshes with a model axis (observed on a
+    4x2 dp x tp mesh: rel-error 1.0 vs single device, dp-only exact). The
+    shifted-fma form is also the better TPU mapping — depthwise conv has no
+    MXU-sized contraction; this lowers to VPU fmas that fuse with the
+    surrounding BatchNorm/GLU. Param shapes match nn.Conv ((K, 1, C) kernel,
+    (C,) bias) so checkpoints are interchangeable.
+    """
+
+    channels: int
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        K, C = self.kernel_size, self.channels
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (K, 1, C), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        T = x.shape[1]
+        pad_lo, pad_hi = (K - 1) // 2, K // 2          # XLA SAME padding
+        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+        w = kernel[:, 0, :].astype(self.dtype)
+        out = xp[:, 0:T, :] * w[0]
+        for k in range(1, K):
+            out = out + xp[:, k:k + T, :] * w[k]
+        return out + bias.astype(self.dtype)
+
+
 class ConvolutionModule(nn.Module):
     channels: int
     depthwise_kernel_size: int = 31
@@ -44,9 +77,9 @@ class ConvolutionModule(nn.Module):
         x = nn.Conv(2 * self.channels, kernel_size=(1,), padding="VALID",
                     dtype=self.dtype, name="pointwise_conv1")(feat)
         x = jax.nn.glu(x, axis=-1)
-        x = nn.Conv(self.channels, kernel_size=(self.depthwise_kernel_size,),
-                    padding="SAME", feature_group_count=self.channels,
-                    dtype=self.dtype, name="depthwise_conv")(x)
+        x = DepthwiseConv1d(channels=self.channels,
+                            kernel_size=self.depthwise_kernel_size,
+                            dtype=self.dtype, name="depthwise_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          axis_name=self.bn_axis_name, name="batch_norm")(x)

@@ -272,7 +272,8 @@ def train_main(cfg: Dict, args):
     tokenizer = build_tokenizer(customize.get("token_type", "char"),
                                 customize.get("token_path"))
     dtype = jnp.bfloat16 if cfg["use_bf16"] else jnp.float32
-    net, net_cfg, mtype = build_model(model_cfg, tokenizer.vocab_size, dtype)
+    net, net_cfg, mtype = build_model(model_cfg, tokenizer.vocab_size, dtype,
+                                      bn_axis_name="data")
     family = model_family(mtype)
 
     loaders = {}

@@ -1,0 +1,192 @@
+"""Multi-device numerical equivalence for the flagship model families.
+
+Protocol matches tests/test_gspmd_equiv.py: one SGD step on a 1-device mesh
+must match the sharded step bit-closely — the partitioner/shard_map only
+changes WHERE compute happens.
+
+- ARASR runs the GSPMD dp x tp path (the one the multichip dryrun grades),
+  with the full pipeline the verdict called out: feat-norm running-stat
+  updates, conformer BatchNorm batch stats, and a CTC head.
+- ARTTS and FastSpeech2 run the shard_map dp=8 path with axis_name='data'
+  psum collectives. Dropout is set to 0 in these configs: shard_map gives
+  every shard the same replicated rng, so per-shard dropout draws cannot
+  reproduce a full-batch draw (GSPMD keeps global shapes, so ARASR keeps
+  its dropout on).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
+from speechain_tpu.models.ar_tts import ARTTSConfig, ARTTSNet
+from speechain_tpu.models.nar_tts import FastSpeech2Config, FastSpeech2Net
+from speechain_tpu.ops.feat_norm import FeatNormConfig
+from speechain_tpu.ops.frontend import FrontendConfig
+from speechain_tpu.parallel.mesh import (make_mesh, train_step_gspmd,
+                                         train_step_under_mesh)
+from speechain_tpu.train.state import (init_train_state, make_arasr_step,
+                                       make_artts_step,
+                                       make_fastspeech2_step)
+
+RNG = jax.random.PRNGKey(0)
+D = 32
+
+
+def _assert_tree_close(t1, t2, atol):
+    for a, b in zip(jax.tree_util.tree_leaves(t1),
+                    jax.tree_util.tree_leaves(t2)):
+        if a.dtype == bool or jnp.issubdtype(a.dtype, jnp.integer):
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, atol=atol)
+
+
+def test_arasr_gspmd_dp_tp_matches_single_device():
+    cfg = ARASRConfig(
+        vocab_size=24,
+        frontend=FrontendConfig(n_mels=20, sr=8000, win_length=0.02,
+                                hop_length=0.01),
+        feat_norm=FeatNormConfig(feat_dim=20),
+        specaug=None,
+        enc_prenet=dict(conv_dims=[16, 16], lnr_dims=D,
+                        conv_activation="LeakyReLU", conv_batchnorm=True),
+        encoder_type="conformer",
+        encoder=dict(d_model=D, num_heads=4, num_layers=1, fdfwd_dim=64),
+        dec_emb=dict(embedding_dim=D),
+        decoder=dict(d_model=D, num_heads=4, num_layers=1, fdfwd_dim=64),
+        ctc_weight=0.3)
+    net = ARASRNet(cfg=cfg)
+    B = 8
+    batch = dict(
+        feat=jax.random.normal(RNG, (B, 8000, 1)) * 0.1,
+        feat_len=jnp.full((B,), 8000, jnp.int32),
+        text=jax.random.randint(RNG, (B, 6), 1, 23),
+        text_len=jnp.full((B,), 6, jnp.int32),
+        epoch=jnp.zeros((), jnp.int32))
+    variables = net.init({"params": RNG, "dropout": RNG, "specaug": RNG},
+                         batch["feat"], batch["feat_len"], batch["text"],
+                         batch["text_len"], train=False)
+    tx = optax.sgd(1e-2)
+    step = make_arasr_step(net, cfg, tx, axis_name=None, train=True)
+
+    def one_step(n_data, n_model):
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        jstep = train_step_gspmd(step, mesh, donate_state=False)
+        state = init_train_state(variables, tx)
+        new_state, metrics = jstep(state, batch, RNG)
+        return (jax.device_get(new_state.params),
+                jax.device_get(new_state.mutables), float(metrics["loss"]))
+
+    p1, m1, l1 = one_step(1, 1)
+    pN, mN, lN = one_step(4, 2)
+    assert abs(l1 - lN) < 1e-5, (l1, lN)
+    _assert_tree_close(p1, pN, atol=2e-6)
+    # running feat-norm stats and conformer BatchNorm batch stats must also
+    # be device-layout independent
+    _assert_tree_close(m1, mN, atol=2e-6)
+
+
+def _artts_cfg():
+    return ARTTSConfig(
+        vocab_size=20,
+        frontend=FrontendConfig(n_mels=20, sr=8000, win_length=0.02,
+                                hop_length=0.01),
+        feat_norm=FeatNormConfig(feat_dim=20),
+        enc_emb=dict(embedding_dim=D), enc_prenet=None,
+        encoder=dict(d_model=D, num_heads=4, num_layers=1, fdfwd_dim=64,
+                     att_dropout=0.0, fdfwd_dropout=0.0, res_dropout=0.0,
+                     posenc_dropout=0.0),
+        dec_prenet=dict(lnr_dims=[D], lnr_dropout=0.0),
+        decoder=dict(d_model=D, num_heads=4, num_layers=1, fdfwd_dim=64,
+                     att_dropout=0.0, fdfwd_dropout=0.0, res_dropout=0.0,
+                     posenc_dropout=0.0),
+        postnet=dict(conv_dims=[D], conv_kernel=5, conv_dropout=0.0))
+
+
+def test_artts_shard_map_dp8_matches_single_device():
+    cfg = _artts_cfg()
+    # bn_axis_name: the postnet's BatchNorm must sync batch statistics over
+    # the dp axis (SyncBatchNorm analog) or per-shard stats diverge from the
+    # single-device run
+    net = ARTTSNet(cfg=cfg, bn_axis_name="data")
+    B = 8
+    batch = dict(
+        text=jax.random.randint(RNG, (B, 7), 1, 19),
+        text_len=jnp.full((B,), 7, jnp.int32),
+        feat=jax.random.normal(RNG, (B, 8000, 1)) * 0.1,
+        feat_len=jnp.full((B,), 8000, jnp.int32),
+        epoch=jnp.zeros((), jnp.int32))
+    variables = net.init({"params": RNG, "dropout": RNG}, batch["text"],
+                         batch["text_len"], batch["feat"], batch["feat_len"],
+                         train=False)
+    tx = optax.sgd(1e-2)
+    step = make_artts_step(net, cfg, tx, axis_name="data", train=True)
+
+    def one_step(n_data):
+        mesh = make_mesh(n_data=n_data, n_model=1)
+        jstep = train_step_under_mesh(step, mesh, donate_state=False)
+        state = init_train_state(variables, tx)
+        new_state, metrics = jstep(state, batch, RNG)
+        return (jax.device_get(new_state.params),
+                jax.device_get(new_state.mutables), float(metrics["loss"]))
+
+    p1, m1, l1 = one_step(1)
+    p8, m8, l8 = one_step(8)
+    assert abs(l1 - l8) < 1e-5, (l1, l8)
+    _assert_tree_close(p1, p8, atol=2e-6)
+    _assert_tree_close(m1, m8, atol=2e-6)
+
+
+def test_fastspeech2_shard_map_dp8_matches_single_device():
+    cfg = FastSpeech2Config(
+        vocab_size=20,
+        frontend=FrontendConfig(n_mels=20, sr=8000, win_length=0.02,
+                                hop_length=0.01, return_energy=True),
+        feat_norm=FeatNormConfig(feat_dim=20),
+        pitch_norm=FeatNormConfig(feat_dim=1),
+        energy_norm=FeatNormConfig(feat_dim=1),
+        enc_emb=dict(embedding_dim=D), enc_prenet=None,
+        encoder=dict(d_model=D, num_heads=4, num_layers=1, fdfwd_dim=64,
+                     att_dropout=0.0, fdfwd_dropout=0.0, res_dropout=0.0,
+                     posenc_dropout=0.0),
+        duration_predictor=dict(conv_dims=[D], conv_dropout=0.0),
+        pitch_predictor=dict(conv_dims=[D], conv_dropout=0.0),
+        energy_predictor=dict(conv_dims=[D], conv_dropout=0.0),
+        decoder=dict(d_model=D, num_heads=4, num_layers=1, fdfwd_dim=64,
+                     att_dropout=0.0, fdfwd_dropout=0.0, res_dropout=0.0,
+                     posenc_dropout=0.0),
+        postnet=dict(conv_dims=[D], conv_kernel=5, conv_dropout=0.0))
+    net = FastSpeech2Net(cfg=cfg, bn_axis_name="data")
+    B, L = 8, 5
+    batch = dict(
+        text=jax.random.randint(RNG, (B, L), 1, 19),
+        text_len=jnp.full((B,), L, jnp.int32),
+        feat=jax.random.normal(RNG, (B, 8000, 1)) * 0.1,
+        feat_len=jnp.full((B,), 8000, jnp.int32),
+        pitch=jnp.abs(jax.random.normal(RNG, (B, 101))) * 100,
+        pitch_len=jnp.full((B,), 101, jnp.int32),
+        duration=jnp.full((B, L), 20.0),
+        duration_len=jnp.full((B,), L, jnp.int32),
+        epoch=jnp.zeros((), jnp.int32))
+    variables = net.init(
+        {"params": RNG, "dropout": RNG}, batch["text"], batch["text_len"],
+        batch["feat"], batch["feat_len"], batch["pitch"], batch["pitch_len"],
+        batch["duration"], batch["duration_len"], train=False)
+    tx = optax.sgd(1e-2)
+    step = make_fastspeech2_step(net, cfg, tx, axis_name="data", train=True)
+
+    def one_step(n_data):
+        mesh = make_mesh(n_data=n_data, n_model=1)
+        jstep = train_step_under_mesh(step, mesh, donate_state=False)
+        state = init_train_state(variables, tx)
+        new_state, metrics = jstep(state, batch, RNG)
+        return (jax.device_get(new_state.params),
+                jax.device_get(new_state.mutables), float(metrics["loss"]))
+
+    p1, m1, l1 = one_step(1)
+    p8, m8, l8 = one_step(8)
+    assert abs(l1 - l8) < 1e-5, (l1, l8)
+    _assert_tree_close(p1, p8, atol=2e-6)
+    _assert_tree_close(m1, m8, atol=2e-6)
