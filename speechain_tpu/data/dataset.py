@@ -44,13 +44,16 @@ def load_data_by_path(path: str) -> np.ndarray:
 
 
 def data_selection(data_index: List[str], selection_mode: str,
-                   selection_num: Union[int, float, str],
+                   selection_num: Union[int, float, str, List],
                    meta_info: Optional[str] = None,
                    rng: Optional[random.Random] = None) -> List[str]:
-    """Data selection strategies (dataset/abs.py:188-320).
+    """Data selection strategies (dataset/abs.py:188-340).
 
     non-meta: 'order' | 'rev_order' | 'random' with float fraction or int
-    count; meta: 'min' | 'max' | 'middle' with count or str threshold.
+    count; meta: 'min' | 'max' | 'middle' with count or str threshold, or
+    'group' with a LIST of metadata values to keep (e.g. speaker ids,
+    dataset/abs.py:331-338 — instances whose metadata value is not in the
+    list are removed).
     """
     arr = list(data_index)
     if meta_info is None:
@@ -79,7 +82,23 @@ def data_selection(data_index: List[str], selection_mode: str,
     keys = [k for k, _ in items]
     vals = [v for _, v in items]
 
-    if isinstance(selection_num, str):
+    if isinstance(selection_num, (list, tuple)):
+        # values may have been float-coerced by the sort above while the
+        # group list holds ints/strs — compare both ways
+        def _in(v, groups):
+            for g in groups:
+                if str(v) == str(g):
+                    return True
+                try:
+                    if float(v) == float(g):
+                        return True
+                except (TypeError, ValueError):
+                    pass
+            return False
+
+        removed = [k for k, v in zip(keys, vals)
+                   if not _in(v, selection_num)]
+    elif isinstance(selection_num, str):
         thr = float(selection_num)
         if selection_mode == "min":
             removed = [k for k, v in zip(keys, vals) if v > thr]
@@ -106,15 +125,26 @@ def data_selection(data_index: List[str], selection_mode: str,
 class Dataset:
     """Metadata-dict dataset (dataset/abs.py:19-484).
 
-    main_data: dict name -> idx2file path (or an already-loaded dict).
+    main_data: dict name -> idx2file path, an already-loaded dict, or a LIST
+    of paths merged in order (the reference's multi-corpus form, e.g.
+    librispeech + libritts idx2wav lists,
+    utilbox/data_loading_util.py:91-180).
     """
 
-    def __init__(self, main_data: Dict[str, Union[str, Dict]],
+    def __init__(self, main_data: Dict[str, Union[str, Dict, List]],
                  data_selection: Optional[List] = None, **conf):
         self.main_data: Dict[str, Dict[str, str]] = {}
         for name, src in main_data.items():
-            self.main_data[name] = (dict(src) if isinstance(src, dict)
-                                    else read_idx2data_file(src))
+            if isinstance(src, dict):
+                self.main_data[name] = dict(src)
+            elif isinstance(src, (list, tuple)):
+                merged: Dict[str, str] = {}
+                for p in src:
+                    merged.update(p if isinstance(p, dict)
+                                  else read_idx2data_file(p))
+                self.main_data[name] = merged
+            else:
+                self.main_data[name] = read_idx2data_file(src)
         # intersect indices across all main_data entries
         keys = None
         for d in self.main_data.values():

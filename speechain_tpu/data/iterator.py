@@ -60,8 +60,17 @@ class Iterator:
 
         self.data_len: Optional[Dict[str, int]] = None
         if data_len is not None:
-            self.data_len = (data_len if isinstance(data_len, dict)
-                             else read_idx2data_file(data_len, int))
+            if isinstance(data_len, dict):
+                self.data_len = dict(data_len)
+            elif isinstance(data_len, (list, tuple)):
+                # multi-corpus form: merge several idx2*_len files
+                self.data_len = {}
+                for p in data_len:
+                    self.data_len.update(
+                        p if isinstance(p, dict)
+                        else read_idx2data_file(p, int))
+            else:
+                self.data_len = read_idx2data_file(data_len, int)
             ds_keys = set(self.dataset.get_data_index())
             for k in set(self.data_len) - ds_keys:
                 self.data_len.pop(k)

@@ -115,12 +115,19 @@ class ARTTSNet(nn.Module):
                                                 name="feat_norm")
         self.dec_prenet = LinearPrenet(dtype=c.dtype, name="dec_prenet",
                                        **c.dec_prenet)
+        # the reference decoder's width is dictated by its INPUT, not its
+        # conf d_model (transformer/decoder.py:247-249 overrides d_model with
+        # input_size = prenet output) — Transformer-TTS runs the decoder at
+        # the prenet width even when conf says otherwise
+        prenet_out = LinearPrenet.output_size(c.dec_prenet["lnr_dims"])
+        dec_conf = dict(c.decoder)
+        dec_conf["d_model"] = prenet_out
         if c.spk_emb is not None:
-            d_model = c.decoder.get("d_model", 512)
             self.spk_emb_mod = SpeakerEmbedPrenet(
-                d_model=d_model, dtype=c.dtype, name="spk_emb", **c.spk_emb)
+                d_model=prenet_out, dtype=c.dtype, name="spk_emb",
+                **c.spk_emb)
         self.decoder = TransformerDecoder(dtype=c.dtype, name="decoder",
-                                          **c.decoder)
+                                          **dec_conf)
         self.feat_dim = c.frontend.n_mels * c.reduction_factor
         self.feat_pred = nn.Dense(self.feat_dim, dtype=c.dtype,
                                   name="feat_pred")

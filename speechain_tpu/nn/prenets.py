@@ -35,6 +35,7 @@ class EmbedPrenet(nn.Module):
     vocab_size: int
     embedding_dim: int
     scale: bool = False
+    emb_scale: Optional[bool] = None   # reference kwarg name (embed.py:14)
     padding_idx: Optional[int] = 0
     dtype: jnp.dtype = jnp.float32
 
@@ -44,7 +45,8 @@ class EmbedPrenet(nn.Module):
                        dtype=self.dtype, name="embed")(text)
         if self.padding_idx is not None:
             emb = jnp.where((text == self.padding_idx)[..., None], 0.0, emb)
-        if self.scale:
+        scale = self.scale if self.emb_scale is None else self.emb_scale
+        if scale:
             emb = emb * math.sqrt(self.embedding_dim)
         return emb
 

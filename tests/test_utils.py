@@ -246,3 +246,34 @@ def test_process_pool_loader_matches_thread_loader(tmp_path):
         g.close()
     finally:
         prc.close()
+
+
+def test_data_selection_group_mode(tmp_path):
+    # 'group' mode: selection_num is a LIST of metadata values to keep
+    # (dataset/abs.py:331-338)
+    from speechain_tpu.data.dataset import data_selection
+    meta = tmp_path / "idx2spk"
+    meta.write_text("a spk1\nb spk2\nc spk1\nd spk3\n")
+    out = data_selection(["a", "b", "c", "d"], "group", ["spk1", "spk3"],
+                         str(meta))
+    assert out == ["a", "c", "d"]
+    # numeric group ids survive the float-coercion of the metadata sort
+    meta2 = tmp_path / "idx2spk2"
+    meta2.write_text("a 103\nb 204\nc 103\n")
+    assert data_selection(["a", "b", "c"], "group", [103], str(meta2)) == \
+        ["a", "c"]
+
+
+def test_main_data_and_data_len_accept_lists(tmp_path):
+    # multi-corpus merged idx2 files (the reference's librispeech+libritts
+    # configs, utilbox/data_loading_util.py:91-180)
+    from speechain_tpu.data.dataset import Dataset
+    from speechain_tpu.data.iterator import Iterator
+    a = tmp_path / "idx2text_a"; a.write_text("u1 hello\nu2 world\n")
+    b = tmp_path / "idx2text_b"; b.write_text("u3 foo\n")
+    la = tmp_path / "len_a"; la.write_text("u1 5\nu2 5\n")
+    lb = tmp_path / "len_b"; lb.write_text("u3 3\n")
+    ds = Dataset(main_data={"text": [str(a), str(b)]})
+    assert sorted(ds.get_data_index()) == ["u1", "u2", "u3"]
+    it = Iterator(dataset=ds, data_len=[str(la), str(lb)], batch_size=2)
+    assert sorted(it.data_len) == ["u1", "u2", "u3"]
