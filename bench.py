@@ -99,11 +99,40 @@ def main():
     mel_frames = B * (T // 160 + 1)  # 10 ms hop
     frames_per_sec = mel_frames * n_steps / dt / n_chips
     value = round(frames_per_sec, 1)
+
+    # ---- inference throughput: jitted beam-16 decode, worst case --------
+    # Force the full max-length search (the upper bound; early stopping only
+    # improves on this): eos is eligible only when its log-prob beats
+    # threshold * best-other (both negative), so a hugely NEGATIVE threshold
+    # makes the bar +inf and eos never fires. Same protocol as
+    # docs/BENCHMARKS.md "Decoding".
+    from speechain_tpu.infer.asr import make_asr_decoder
+    DB = 16
+    dbatch_feat = batch["feat"][:DB]
+    dbatch_len = batch["feat_len"][:DB]
+    decoder = make_asr_decoder(net, beam_size=16, eos_filtering=True,
+                               eos_threshold=-1e9)
+    # the train step donates its input state, so the init-time `variables`
+    # buffers are gone — decode from the live post-training state
+    dec_vars = {"params": state.params, **state.mutables}
+    out = decoder(dec_vars, dbatch_feat, dbatch_len)
+    jax.block_until_ready(out["hypo_text"])
+    n_dec = 5
+    t0 = time.perf_counter()
+    for _ in range(n_dec):
+        out = decoder(dec_vars, dbatch_feat, dbatch_len)
+    jax.block_until_ready(out["hypo_text"])
+    dec_dt = (time.perf_counter() - t0) / n_dec
+    decode_utt_per_sec = DB / dec_dt / n_chips
+    decode_rt_factor = DB * SECS / dec_dt / n_chips   # audio-seconds/second
+
     print(json.dumps({
         "metric": "asr_train_melframes_per_sec_per_chip",
         "value": value,
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / REF_FRAMES_PER_SEC, 3),
+        "decode_beam16_utt_per_sec_per_chip": round(decode_utt_per_sec, 2),
+        "decode_beam16_realtime_factor_per_chip": round(decode_rt_factor, 1),
     }))
 
 

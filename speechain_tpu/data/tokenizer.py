@@ -190,6 +190,8 @@ class GraphemeToPhonemeTokenizer(Tokenizer):
         return None
 
     def g2p(self, text: str) -> List[str]:
+        from speechain_tpu.utils.letter_to_sound import letter_to_sound
+
         phonemes: List[str] = []
         for w, word in enumerate(text.split()):
             if w > 0:
@@ -198,7 +200,10 @@ class GraphemeToPhonemeTokenizer(Tokenizer):
             if key in self.lexicon:
                 phonemes.extend(self.lexicon[key])
             else:
-                phonemes.extend(list(word))  # letter fallback for OOV
+                # OOV: letter-to-sound rules into the CMU phone inventory
+                # (the reference phonemizes OOV words with g2p_en,
+                # tokenizer/g2p.py:112 — same role, rule-based here)
+                phonemes.extend(letter_to_sound(word))
         return phonemes
 
     def text2tensor(self, text: str, no_sos: bool = False,
@@ -212,8 +217,13 @@ class GraphemeToPhonemeTokenizer(Tokenizer):
         for p in plist:
             if p == "<space>" and self.space_idx is not None:
                 ids.append(self.space_idx)
+            elif p in self.token2idx:
+                ids.append(self.token2idx[p])
+            elif p and p[-1].isdigit() and p[:-1] in self.token2idx:
+                # stress-stripped fallback for unstressed vocabularies
+                ids.append(self.token2idx[p[:-1]])
             else:
-                ids.append(self.token2idx.get(p, self.unk_idx))
+                ids.append(self.unk_idx)
         if not no_eos:
             ids.append(self.sos_eos_idx)
         return np.asarray(ids, dtype=np.int32)

@@ -43,6 +43,12 @@ def parse_args(argv=None):
                    help="forward-only steps (runner.py:347)")
     p.add_argument("--result_path", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--same_proc_seed", action="store_true",
+                   help="give every data-parallel host process the SAME "
+                        "seed (needed when 'random' data_selection must "
+                        "agree across processes, runner.py:276-285); "
+                        "default is per-process seed offsets so "
+                        "augmentation draws differ per replica")
     p.add_argument("--num_epochs", type=int, default=None)
     p.add_argument("--valid_per_epochs", type=int, default=None)
     p.add_argument("--report_per_steps", type=int, default=None)
@@ -81,6 +87,30 @@ DEFAULTS = dict(seed=0, num_epochs=100, valid_per_epochs=1,
                 report_per_steps=100, accum_grad=1, grad_clip=5.0,
                 use_bf16=False, early_stopping_patience=10,
                 last_model_num=1, best_model_num=5)
+
+
+def set_random_seeds(seed: int, same_proc_seed: bool = False) -> int:
+    """Global host-side seeding (reference runner.py:1575-1589).
+
+    Seeds PYTHONHASHSEED (affects set/dict iteration of newly spawned
+    loader worker processes), python `random`, and numpy. By default each
+    host process gets ``seed + process_index`` so host-side augmentation
+    draws differ per replica (reference runner.py:1641-1643);
+    ``same_proc_seed`` forces identical seeds everywhere — required when
+    'random' data_selection must pick the same utterances on all processes
+    (runner.py:276-285). Device-side randomness is jax.random and is seeded
+    separately from the returned value. Returns the effective seed.
+    """
+    import random as _random
+
+    import jax as _jax
+
+    if not same_proc_seed:
+        seed = seed + _jax.process_index()
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    _random.seed(seed)
+    np.random.seed(seed % (2 ** 32))
+    return seed
 
 
 # model families share a train-loop skeleton but differ in init args,
@@ -264,7 +294,9 @@ def train_main(cfg: Dict, args):
     result_path = cfg["result_path"]
     os.makedirs(result_path, exist_ok=True)
     logger = setup_logger(os.path.join(result_path, "train.log"))
-    seed = int(cfg["seed"])
+    seed = set_random_seeds(int(cfg["seed"]),
+                            same_proc_seed=bool(
+                                getattr(args, "same_proc_seed", False)))
 
     model_cfg = cfg["train_cfg"]["model"]
     customize = (model_cfg.get("model_conf", {}) or {}).get(

@@ -140,6 +140,25 @@ class SnapShooter:
             elif plot_type == "text":
                 with open(os.path.join(sub, f"{name}.txt"), "a") as f:
                     f.write(f"step {step}: {values}\n")
+            elif plot_type == "audio":
+                # validation-sample listening (snapshooter.py:405-491):
+                # values = (wave, sample_rate) or a bare wave at 16 kHz
+                import wave as wavemod
+                if isinstance(values, tuple):
+                    arr, sr = values
+                else:
+                    arr, sr = values, 16000
+                arr = np.asarray(arr, dtype=np.float32).reshape(-1)
+                pcm = (np.clip(arr, -1.0, 1.0) * 32767).astype("<i2")
+                path = os.path.join(sub, f"{name}_{step}.wav")
+                with wavemod.open(path, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(int(sr))
+                    f.writeframes(pcm.tobytes())
+                if self._tb is not None:
+                    self._tb.add_audio(name, arr[None], step,
+                                       sample_rate=int(sr))
 
     def wait_empty(self, timeout: float = 60.0):
         t0 = time.time()

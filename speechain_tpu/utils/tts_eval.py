@@ -157,8 +157,13 @@ def log_f0_rmse(hypo_wave: np.ndarray, refer_wave: np.ndarray, sr: int
     (tts_evaluation.py:116-128). None if either wave is too short."""
     if _too_short(hypo_wave, refer_wave, sr=sr):
         return None
-    h = wav_to_pitch(hypo_wave, sr)
-    r = wav_to_pitch(refer_wave, sr)
+    # reference tts_evaluation.py uses pyworld convert_wav_to_pitch
+    # (non-continuous) — same algorithm path here
+    from speechain_tpu.utils.world_pitch import convert_wav_to_pitch
+    h = convert_wav_to_pitch(hypo_wave, hop_length=256, sr=sr,
+                             do_continuous_f0=False)
+    r = convert_wav_to_pitch(refer_wave, hop_length=256, sr=sr,
+                             do_continuous_f0=False)
     pa, pb = dtw_path(h, r)
     h, r = h[pa], r[pb]
     voiced = (h > 0) & (r > 0)

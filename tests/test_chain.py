@@ -9,6 +9,8 @@ import pytest
 
 from test_runner import make_dataset
 
+pytestmark = pytest.mark.slow
+
 
 TTS_CFG = """
 data_root: {root}

@@ -84,3 +84,41 @@ def test_monitor_epoch_summary(tmp_path):
     sd = mon.state_dict()
     assert sd["epoch_records"]["train"]["loss"] == [1.5]  # mean of 0..3
     mon.close()
+
+
+def test_snapshooter_audio_type(tmp_path):
+    # snapshooter.py:405-491 parity: 'audio' snapshots write a listenable
+    # wav per step
+    import wave as wavemod
+
+    import numpy as np
+
+    from speechain_tpu.train.monitor import SnapShooter
+
+    sh = SnapShooter(str(tmp_path))
+    t = np.arange(8000) / 8000.0
+    sh.snapshot({"valid_sample": (np.sin(2 * np.pi * 220 * t), 8000)},
+                step=3, plot_type="audio")
+    sh.wait_empty()
+    sh.close()
+    p = tmp_path / "figures" / "valid_sample" / "valid_sample_3.wav"
+    assert p.exists()
+    with wavemod.open(str(p)) as f:
+        assert f.getframerate() == 8000
+        assert f.getnframes() == 8000
+
+
+def test_set_random_seeds_controls(monkeypatch):
+    import os
+    import random
+
+    import numpy as np
+
+    from speechain_tpu.runner import set_random_seeds
+
+    eff = set_random_seeds(123, same_proc_seed=True)
+    assert eff == 123
+    assert os.environ["PYTHONHASHSEED"] == "123"
+    a = random.random(); na = np.random.rand()
+    set_random_seeds(123, same_proc_seed=True)
+    assert random.random() == a and np.random.rand() == na

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
 from speechain_tpu.models.ar_tts import ARTTSConfig, ARTTSNet
@@ -29,6 +30,8 @@ from speechain_tpu.parallel.mesh import (make_mesh, train_step_gspmd,
 from speechain_tpu.train.state import (init_train_state, make_arasr_step,
                                        make_artts_step,
                                        make_fastspeech2_step)
+
+pytestmark = pytest.mark.slow
 
 RNG = jax.random.PRNGKey(0)
 D = 32

@@ -14,6 +14,9 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -18,6 +18,8 @@ from speechain_tpu.nn.lm import LanguageModelNet, LMConfig
 from speechain_tpu.parallel.mesh import make_mesh, train_step_gspmd
 from speechain_tpu.train.state import init_train_state, make_lm_step
 
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 

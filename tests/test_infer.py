@@ -12,6 +12,8 @@ from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
 from speechain_tpu.ops.feat_norm import FeatNormConfig
 from speechain_tpu.ops.frontend import FrontendConfig
 
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 NEG_INF = -1e20
 

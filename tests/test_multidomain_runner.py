@@ -7,6 +7,8 @@ import pytest
 
 from test_runner import CONFIG_TEMPLATE, make_dataset
 
+pytestmark = pytest.mark.slow
+
 MULTI_CFG = """
 data_root: {root}
 num_epochs: 2

@@ -23,6 +23,8 @@ from speechain_tpu.ops.feat_norm import (
 from speechain_tpu.ops.specaug import SpecAugmentConfig, spec_augment
 from speechain_tpu.utils.masks import make_mask_from_len
 
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 

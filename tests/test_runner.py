@@ -14,6 +14,8 @@ import wave as wavemod
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def write_wav(path, wave_arr, sr=8000):
     data = (np.clip(wave_arr, -1, 1) * 32767).astype("<i2").tobytes()

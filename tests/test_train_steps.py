@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
 from speechain_tpu.models.ar_tts import ARTTSConfig, ARTTSNet
@@ -20,6 +21,8 @@ from speechain_tpu.train.state import (
     make_lm_step,
     make_multi_domain_arasr_step,
 )
+
+pytestmark = pytest.mark.slow
 
 RNG = jax.random.PRNGKey(0)
 D = 32

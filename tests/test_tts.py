@@ -17,6 +17,9 @@ from speechain_tpu.models.nar_tts import (
 from speechain_tpu.ops import griffin_lim as G
 from speechain_tpu.ops.feat_norm import FeatNormConfig
 from speechain_tpu.ops.frontend import FrontendConfig, LogMelFrontend
+import pytest
+
+pytestmark = pytest.mark.slow
 
 RNG = jax.random.PRNGKey(0)
 D = 32
