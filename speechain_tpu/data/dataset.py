@@ -288,6 +288,32 @@ class SpeechTextDataset(Dataset):
     def set_epoch_seed(self, seed: int):
         self._rng = random.Random(seed)
 
+    def raw_audio_paths(self, indices: List[str]) -> Optional[List[str]]:
+        """Audio file paths for the native batch-assembler fast path, or
+        None when any per-item audio transform is active (perturbation,
+        silence trimming, non-PCM containers) and the Python path must run.
+        """
+        if ("wav" not in self.main_data or not self.wave_int16
+                or self.use_speed_perturb or self.remove_sil):
+            return None
+        wavs = self.main_data["wav"]
+        paths = []
+        for i in indices:
+            p = wavs.get(i)
+            if p is None or not (p.endswith(".wav") or p.endswith(".flac")):
+                return None
+            paths.append(p)
+        return paths
+
+    def getitem_without(self, index: str, skip=("wav",)) -> Dict[str, Any]:
+        """__getitem__ with some main_data entries excluded (the fast path
+        loads audio natively and only needs the host-side fields here)."""
+        sample = {name: d[index] for name, d in self.main_data.items()
+                  if name not in skip}
+        out = self.extract_main_data_fn(sample)
+        out["index"] = index
+        return out
+
     def _speed_perturb(self, wave: np.ndarray) -> np.ndarray:
         factor = self._rng.choice(self.perturb_range)
         if factor == 1.0:

@@ -196,7 +196,45 @@ class EpochLoader:
             for f in pending:
                 f.cancel()
 
+    def _fast_audio_batch(self, indices: List[str]) -> Optional[Dict]:
+        """Native batch assembly (native/batch_assembler.cpp): one C call
+        reads + decodes + pad-packs the whole audio batch, bypassing the
+        per-utterance Python path. Falls back (returns None) whenever any
+        per-item transform or unsupported container is involved."""
+        ds = self.iterator.dataset
+        raw_paths = getattr(ds, "raw_audio_paths", None)
+        data_len = self.iterator.data_len
+        if raw_paths is None or data_len is None:
+            return None
+        paths = raw_paths(indices)
+        if paths is None:
+            return None
+        lens = [data_len.get(i) for i in indices]
+        if any(ln is None for ln in lens):
+            return None
+        kw = getattr(self.collate_fn, "keywords", None) or {}
+        time_bucket = kw.get("time_bucket") or 1600
+        batch_bucket = kw.get("batch_bucket") or 8
+        t_pad = bucket_len(max(lens), time_bucket, time_bucket)
+        b_pad = bucket_len(len(indices), batch_bucket, batch_bucket)
+        try:
+            from speechain_tpu.utils.native_audio import batch_read_i16
+            res = batch_read_i16(paths, t_pad, b_pad,
+                                 expected_sr=getattr(ds, "sample_rate", 0))
+        except Exception:
+            return None
+        if res is None:
+            return None
+        feat, feat_len = res
+        samples = [ds.getitem_without(i, skip=("wav",)) for i in indices]
+        batch = self.collate_fn(samples)
+        batch["feat"], batch["feat_len"] = feat, feat_len
+        return batch
+
     def _load_batch(self, indices: List[str], pool) -> Dict[str, Any]:
+        fast = self._fast_audio_batch(indices)
+        if fast is not None:
+            return fast
         if pool is not None:
             samples = list(pool.map(self.iterator.dataset.__getitem__, indices))
         else:

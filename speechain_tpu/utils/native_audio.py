@@ -93,3 +93,38 @@ def read_flac(path: str, int16: bool = False) -> Tuple[np.ndarray, int]:
     else:
         arr = arr[:, 0]
     return arr.astype(np.float32), int(sr.value)
+
+
+def batch_read_i16(paths, t_pad: int, b_pad: int, expected_sr: int = 0):
+    """Read + decode + pad-pack a batch of mono-PCM16 wav/flac files in one
+    native call (native/batch_assembler.cpp): returns (feat (b_pad, t_pad, 1)
+    int16, feat_len (b_pad,) int32), or None if any file needs the Python
+    fallback path (non-PCM16/multi-channel/other container, or a sample
+    rate differing from ``expected_sr`` which requires host resampling)."""
+    lib = _load()
+    if not hasattr(lib, "batch_assemble_i16"):
+        return None
+    if getattr(batch_read_i16, "_bound", None) is not lib:
+        lib.batch_assemble_i16.restype = ctypes.c_longlong
+        lib.batch_assemble_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+        ]
+        batch_read_i16._bound = lib
+    n = len(paths)
+    assert n <= b_pad
+    out = np.zeros((b_pad, t_pad), np.int16)
+    lens = np.zeros((n,), np.int64)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.batch_assemble_i16(
+        c_paths, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_longlong(t_pad),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        ctypes.c_int(expected_sr))
+    if rc != 0:
+        return None
+    feat_len = np.zeros((b_pad,), np.int32)
+    feat_len[:n] = lens.astype(np.int32)
+    return out[..., None], feat_len
