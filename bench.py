@@ -117,11 +117,16 @@ def main():
     dec_vars = {"params": state.params, **state.mutables}
     out = decoder(dec_vars, dbatch_feat, dbatch_len)
     jax.block_until_ready(out["hypo_text"])
+    # measurement hardening: vary the input every call (a remote-execution
+    # service may replay identical (executable, args) requests) and
+    # materialize the result on the host (a copy cannot be faked)
+    import numpy as _np
     n_dec = 5
     t0 = time.perf_counter()
-    for _ in range(n_dec):
-        out = decoder(dec_vars, dbatch_feat, dbatch_len)
-    jax.block_until_ready(out["hypo_text"])
+    for r in range(n_dec):
+        out = decoder(dec_vars, dbatch_feat + jnp.float32(1e-6 * (r + 1)),
+                      dbatch_len)
+        _np.asarray(out["hypo_text"])
     dec_dt = (time.perf_counter() - t0) / n_dec
     decode_utt_per_sec = DB / dec_dt / n_chips
     decode_rt_factor = DB * SECS / dec_dt / n_chips   # audio-seconds/second

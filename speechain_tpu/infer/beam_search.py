@@ -76,12 +76,23 @@ class BeamState(NamedTuple):
 
 
 def _gather_cache(cache, beam_idx: Array, bk: int):
-    """Reindex every (BK, ...) cache leaf by the flat beam index."""
-    def g(leaf):
+    """Reindex every (BK, ...) cache leaf by the flat beam index.
+
+    Cross-attention K/V leaves are skipped: the beam reorder stays within
+    each utterance's K-beam block and every row of that block holds the
+    SAME projected encoder K/V (written once at priming from the
+    K-repeated encoder output), so gathering them is a content identity —
+    and they dominate the per-step HBM traffic of the search
+    ((BK, H, T_enc, Dh) x 2 x layers read+written every step).
+    """
+    def g(path, leaf):
+        names = "/".join(str(p) for p in path)
+        if "cached_cross" in names:
+            return leaf
         if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == bk:
             return leaf[beam_idx]
         return leaf
-    return jax.tree_util.tree_map(g, cache)
+    return jax.tree_util.tree_map_with_path(g, cache)
 
 
 def beam_search(
