@@ -183,9 +183,13 @@ class Dataset:
     def __len__(self):
         return len(self.data_index)
 
-    def __getitem__(self, index: str) -> Dict[str, Any]:
+    def __getitem__(self, index: str) -> Optional[Dict[str, Any]]:
         sample = {name: d[index] for name, d in self.main_data.items()}
         out = self.extract_main_data_fn(sample)
+        if out is None:
+            # hook dropped the utterance (e.g. all-unvoiced pitch,
+            # speech_text.py:313); the loader removes it from the batch
+            return None
         out["index"] = index
         return out
 
@@ -209,7 +213,8 @@ class SpeechTextDataset(Dataset):
                         use_g2p: bool = False,
                         lexicon_path: Optional[str] = None,
                         remove_sil: bool = False,
-                        wave_int16: bool = True, **conf):
+                        wave_int16: bool = True,
+                        pitch_conf: Optional[Dict] = None, **conf):
         self.use_speed_perturb = use_speed_perturb
         self.perturb_range = list(perturb_range)
         self.sample_rate = sample_rate
@@ -232,6 +237,22 @@ class SpeechTextDataset(Dataset):
             g.lexicon = {}
             g.tokenizer_init_fn(lexicon_path=lexicon_path)
             self._g2p = g
+        # on-the-fly WORLD pitch extraction (speech_text.py:93-104,307-313);
+        # the reference delegates to pyworld dio+stonemask, here the in-repo
+        # re-implementation (utils/world_pitch.py)
+        self._pitch_extract_fn = None
+        if pitch_conf is not None:
+            from functools import partial
+
+            from speechain_tpu.utils.world_pitch import convert_wav_to_pitch
+            pc = dict(pitch_conf)
+            if "sr" in pc:
+                assert int(pc.pop("sr")) == int(sample_rate), \
+                    "pitch_conf sr must match sample_rate"
+            if "continuous_f0" in pc:  # reference kwarg name
+                pc["do_continuous_f0"] = bool(pc.pop("continuous_f0"))
+            self._pitch_extract_fn = partial(convert_wav_to_pitch,
+                                             sr=int(sample_rate), **pc)
         self._rng = random.Random(0)
 
     def _maybe_downsample(self, wave: np.ndarray, src_sr: int) -> np.ndarray:
@@ -294,7 +315,8 @@ class SpeechTextDataset(Dataset):
         silence trimming, non-PCM containers) and the Python path must run.
         """
         if ("wav" not in self.main_data or not self.wave_int16
-                or self.use_speed_perturb or self.remove_sil):
+                or self.use_speed_perturb or self.remove_sil
+                or self._pitch_extract_fn is not None):
             return None
         wavs = self.main_data["wav"]
         paths = []
@@ -374,6 +396,17 @@ class SpeechTextDataset(Dataset):
                     [float(d) for d in str(value).split()], dtype=np.float32)
             else:
                 out[name] = value
+        if (self._pitch_extract_fn is not None and "pitch" not in out
+                and "feat" in out and out["feat"].shape[-1] == 1):
+            wave = out["feat"][:, 0]
+            if wave.dtype == np.int16:
+                wave = wave.astype(np.float32) * np.float32(1.0 / 32768.0)
+            pitch = self._pitch_extract_fn(wave)
+            if not np.any(pitch > 0):
+                # all-unvoiced utterance: drop it, as the reference does
+                # when interpolation raises IndexError (speech_text.py:313)
+                return None
+            out["pitch"] = pitch
         if self.remove_sil:
             out = self._trim_silence(out)
         return out
@@ -383,35 +416,87 @@ class SpeechTextDataset(Dataset):
 class RandomSpkFeatDataset(SpeechTextDataset):
     """Reference-speaker embedding picker for TTS synthesis
     (speech_text.py:529-648): each item gets a randomly drawn speaker
-    embedding from a pool (frequency-balanced), optionally mixing up
-    (averaging) several embeddings.
+    embedding from a pool, optionally mixing up (averaging) several
+    embeddings.
+
+    When a sibling ``idx2spk`` file exists next to the ``spk_feat`` file,
+    balancing happens at the SPEAKER level (reference speech_text.py:560-583:
+    least-frequently-used speaker first, then a random utterance embedding of
+    that speaker); ``use_aver_feat`` additionally substitutes the speaker's
+    average embedding from the sibling ``spk2aver_{model}_spk_feat`` file
+    (reference :576-583,625-633). Without ``idx2spk`` the pool is flat and
+    balancing is per embedding key.
     """
 
-    def dataset_init_fn(self, spk_feat: Optional[str] = None,
+    def dataset_init_fn(self, spk_feat: Union[str, List[str], None] = None,
+                        use_aver_feat: bool = True,
                         mixup_number: int = 1, **conf):
         super().dataset_init_fn(**conf)
         assert spk_feat is not None, "RandomSpkFeatDataset needs spk_feat"
-        self.spk_feat_paths = read_idx2data_file(spk_feat)
+        if not isinstance(spk_feat, (list, tuple)):
+            spk_feat = [spk_feat]
+        self.spk_feat_paths: Dict[str, str] = {}
+        self.idx2spk: Dict[str, str] = {}
+        self.spk2aver_spk_feat: Dict[str, str] = {}
+        for sf in spk_feat:
+            self.spk_feat_paths.update(read_idx2data_file(sf))
+            meta_dir = os.path.dirname(sf)
+            spk_path = os.path.join(meta_dir, "idx2spk")
+            if os.path.exists(spk_path):
+                self.idx2spk.update(read_idx2data_file(spk_path))
+            if use_aver_feat:
+                # idx2{model}_spk_feat -> spk2aver_{model}_spk_feat
+                model = os.path.basename(sf).split("2")[-1].split("_")[0]
+                aver = os.path.join(meta_dir, f"spk2aver_{model}_spk_feat")
+                if os.path.exists(aver):
+                    self.spk2aver_spk_feat.update(read_idx2data_file(aver))
         self.spk_feat_keys = list(self.spk_feat_paths)
-        self.spk_pick_counts = {k: 0 for k in self.spk_feat_keys}
+        self.spk2feat_keys: Optional[Dict[str, List[str]]] = None
+        if self.idx2spk:
+            self.spk2feat_keys = {}
+            for k in self.spk_feat_keys:
+                spk = self.idx2spk.get(k)
+                if spk is not None:
+                    self.spk2feat_keys.setdefault(spk, []).append(k)
+            self.spk_pick_counts = {s: 0 for s in sorted(self.spk2feat_keys)}
+        else:
+            self.spk_pick_counts = {k: 0 for k in self.spk_feat_keys}
         self.mixup_number = mixup_number
 
-    def _pick_spk(self) -> str:
-        # frequency balancing: prefer least-picked speakers
+    def _pick_balanced(self) -> str:
+        # frequency balancing: prefer least-picked entries
         min_count = min(self.spk_pick_counts.values())
         cands = [k for k, c in self.spk_pick_counts.items() if c == min_count]
         key = self._rng.choice(cands)
         self.spk_pick_counts[key] += 1
         return key
 
+    def _pick_spk(self):
+        """-> (spk_feat_id, spk_id or None, embedding path)."""
+        if self.spk2feat_keys is None:
+            key = self._pick_balanced()
+            return key, None, self.spk_feat_paths[key]
+        spk_id = self._pick_balanced()
+        if spk_id in self.spk2aver_spk_feat:
+            # reference names the pick 'aver_spk_feat' (speech_text.py:629)
+            return "aver_spk_feat", spk_id, self.spk2aver_spk_feat[spk_id]
+        key = self._rng.choice(self.spk2feat_keys[spk_id])
+        return key, spk_id, self.spk_feat_paths[key]
+
     def extract_main_data_fn(self, main_data: Dict[str, str]) -> Dict[str, Any]:
         out = super().extract_main_data_fn(main_data)
-        feats, refs = [], []
+        feats, refs, spks = [], [], []
         for _ in range(self.mixup_number):
-            key = self._pick_spk()
+            key, spk_id, path = self._pick_spk()
             refs.append(key)
-            feats.append(load_data_by_path(
-                self.spk_feat_paths[key]).astype(np.float32).reshape(-1))
+            if spk_id is not None:
+                spks.append(spk_id)
+            feats.append(load_data_by_path(path).astype(
+                np.float32).reshape(-1))
         out["spk_feat"] = np.mean(np.stack(feats), axis=0)
-        out["spk_feat_ids"] = "+".join(refs)
+        out["spk_feat_ids"] = "+".join(sorted(refs) if len(refs) > 1
+                                       else refs)
+        if spks:
+            out["spk_ids"] = "+".join(sorted(spks) if len(spks) > 1
+                                      else spks)
         return out

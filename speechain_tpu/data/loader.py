@@ -138,7 +138,11 @@ def _proc_load(task):
             and hasattr(ds, "set_epoch_seed"):
         ds.set_epoch_seed(epoch_seed)
         _PROC_STATE["seed"] = epoch_seed
-    return _PROC_STATE["collate"]([ds[i] for i in indices])
+    samples = [ds[i] for i in indices]
+    samples = [s for s in samples if s is not None]  # hook-dropped items
+    if not samples:
+        return None
+    return _PROC_STATE["collate"](samples)
 
 
 class EpochLoader:
@@ -189,9 +193,13 @@ class EpochLoader:
             for idxs in it:
                 pending.append(pool.submit(_proc_load, (idxs, epoch_seed)))
                 if len(pending) >= window:
-                    yield pending.pop(0).result()
+                    res = pending.pop(0).result()
+                    if res is not None:
+                        yield res
             while pending:
-                yield pending.pop(0).result()
+                res = pending.pop(0).result()
+                if res is not None:
+                    yield res
         finally:
             for f in pending:
                 f.cancel()
@@ -239,6 +247,11 @@ class EpochLoader:
             samples = list(pool.map(self.iterator.dataset.__getitem__, indices))
         else:
             samples = [self.iterator.dataset[i] for i in indices]
+        # a None sample was dropped by a dataset hook (all-unvoiced pitch,
+        # dataset/speech_text.py:313); remove it from the batch
+        samples = [s for s in samples if s is not None]
+        if not samples:
+            return None
         return self.collate_fn(samples)
 
     def epoch(self, epoch: int = 0, start_step: int = 0) -> PyIterator[Dict]:
@@ -260,7 +273,9 @@ class EpochLoader:
                 for idxs in batches:
                     if abort.is_set():
                         break
-                    q.put(self._load_batch(idxs, pool))
+                    batch = self._load_batch(idxs, pool)
+                    if batch is not None:  # batch emptied by dropped items
+                        q.put(batch)
             except RuntimeError:
                 pass  # pool shut down by an early-exiting consumer
             finally:

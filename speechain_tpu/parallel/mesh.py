@@ -15,6 +15,7 @@ from functools import partial
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -118,6 +119,46 @@ def train_step_under_mesh(step_fn: Callable, mesh: Mesh,
             batch)
         wrapped = jax.shard_map(
             step_fn, mesh=mesh,
+            in_specs=(P(), batch_specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return wrapped(state, batch, rng)
+
+    return jax.jit(run, donate_argnums=(0,) if donate_state else ())
+
+
+def multi_step_under_mesh(step_fn: Callable, mesh: Mesh, n_steps: int,
+                          donate_state: bool = True) -> Callable:
+    """Run ``n_steps`` train steps in ONE compiled executable:
+    ``lax.scan`` over the step inside the shard_map. Each scanned step
+    re-uses the same host batch with a distinct fold_in'd rng.
+
+    This is the device-resident training-loop pattern: a single dispatch
+    executes K optimizer updates, so per-call host/link latency is paid
+    once per K steps instead of once per step. Used by bench.py for
+    dispatch-latency-proof throughput measurement; production loops on
+    remote-attached hosts can use it whenever per-step host work (monitor
+    hooks, fresh data) is not needed every step.
+
+    Returns ``f(state, batch, rng) -> (state, losses[n_steps])``; the loss
+    chain makes execution observable — copying ``losses`` to host forces
+    every scanned step to have really run.
+    """
+    def scanned(state, batch, rng):
+        def one(carry, i):
+            new_state, metrics = step_fn(carry, batch,
+                                         jax.random.fold_in(rng, i))
+            return new_state, metrics["loss"]
+        return jax.lax.scan(one, state,
+                            jnp.arange(n_steps, dtype=jnp.int32))
+
+    def run(state, batch, rng):
+        batch_specs = jax.tree_util.tree_map(
+            lambda x: P("data") if getattr(x, "ndim", 0) >= 1 else P(),
+            batch)
+        wrapped = jax.shard_map(
+            scanned, mesh=mesh,
             in_specs=(P(), batch_specs, P()),
             out_specs=(P(), P()),
             check_vma=False,

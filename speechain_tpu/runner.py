@@ -34,6 +34,11 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="speechain_tpu runner")
     p.add_argument("--config", type=str, required=True)
+    p.add_argument("--data_cfg", type=str, default=None,
+                   help="standalone data_cfg yaml replacing the exp_cfg's "
+                        "data_cfg block (reference runner.py data_cfg flag; "
+                        "used by recipes/**/data_cfg/*.yaml to tune "
+                        "inference on alternative test sets)")
     p.add_argument("--train", action="store_true")
     p.add_argument("--test", action="store_true")
     p.add_argument("--resume", action="store_true")
@@ -186,6 +191,12 @@ def merge_config(args) -> Dict[str, Any]:
                                  os.path.dirname(os.path.abspath(args.config)),
                                  "exp"))
     merged["data_cfg"] = exp_cfg["data_cfg"]
+    if getattr(args, "data_cfg", None):
+        standalone = load_yaml(args.data_cfg)
+        assert "data_cfg" in standalone, (
+            f"{args.data_cfg} must define a data_cfg block "
+            "(recipes/**/data_cfg/*.yaml schema)")
+        merged["data_cfg"] = standalone["data_cfg"]
     merged["train_cfg"] = exp_cfg["train_cfg"]
     merged["infer_cfg"] = exp_cfg.get("infer_cfg", {})
     merged["test_model"] = args.test_model or exp_cfg.get("test_model")
