@@ -18,14 +18,34 @@ the reference's GPU recipe per chip.
 
 import json
 import os
+import sys
 import time
 
 REF_FRAMES_PER_SEC = 45_000.0
+
+_T0 = time.perf_counter()
+
+
+def _progress(msg):
+    # stderr only: stdout must stay a single JSON line for the driver
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
+
+    # persistent compilation cache: repeated bench runs skip the multi-
+    # minute XLA compiles on this 1-core host
+    try:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/tmp/speechain_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
     from speechain_tpu.ops.feat_norm import FeatNormConfig
@@ -72,33 +92,55 @@ def main():
         text_len=jnp.full((B,), L, jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
     )
-    variables = net.init({"params": rng, "dropout": rng, "specaug": rng},
-                         batch["feat"], batch["feat_len"], batch["text"],
-                         batch["text_len"], train=False)
+    _progress('init params (jitted)')
+    variables = jax.jit(
+        lambda r, f, fl, t, tl: net.init(
+            {"params": r, "dropout": r, "specaug": r}, f, fl, t, tl,
+            train=False)
+    )(rng, batch["feat"], batch["feat_len"], batch["text"],
+      batch["text_len"])
+    jax.block_until_ready(variables)
     tx = build_optimizer(optim_conf={"lr": 2e-3}, warmup_steps=4000)
     state = init_train_state(variables, tx)
 
+    # Measurement protocol (docs/BENCHMARKS.md "methodology"): the remote
+    # device link can acknowledge async dispatches AND block_until_ready
+    # before real completion, so only a host VALUE copy is a hard barrier.
+    # The timed region runs N chained steps (each consumes the previous
+    # step's donated state, fresh fold_in rng each step) and then copies
+    # the FINAL loss to host: its value depends on every update in the
+    # chain, so the copy completes only after all N steps really executed.
+    _progress('building train step')
+    N = int(os.environ.get("BENCH_CHAIN_STEPS", "30"))
     mesh = make_mesh(n_data=len(jax.devices()))
     jstep = train_step_under_mesh(
         make_arasr_step(net, cfg, tx, axis_name="data"), mesh)
 
-    # warmup / compile
+    # warmup / compile; the host copy absorbs the compile+first-run backlog
     state, m = jstep(state, batch, rng)
-    jax.block_until_ready(m["loss"])
-    state, m = jstep(state, batch, rng)
-    jax.block_until_ready(m["loss"])
+    np.asarray(m["loss"])
 
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, m = jstep(state, batch, rng)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    _progress('train step compiled; timing')
+    best_dt = None
+    for trial in range(2):
+        t0 = time.perf_counter()
+        for i in range(N):
+            state, m = jstep(state, batch,
+                             jax.random.fold_in(rng, 1000 * trial + i))
+        final_loss = float(np.asarray(m["loss"]))
+        dt = time.perf_counter() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+        _progress(f'trial {trial}: {dt / N * 1e3:.1f} ms/step '
+                  f'loss={final_loss:.2f}')
+    assert np.isfinite(final_loss)
+    dt = best_dt
 
     n_chips = len(jax.devices())
     mel_frames = B * (T // 160 + 1)  # 10 ms hop
-    frames_per_sec = mel_frames * n_steps / dt / n_chips
+    frames_per_sec = mel_frames * N / dt / n_chips
     value = round(frames_per_sec, 1)
+    _progress(f'train: {dt / N * 1e3:.2f} ms/step '
+              f'-> {value:,.0f} frames/s/chip')
 
     # ---- inference throughput: jitted beam-16 decode, worst case --------
     # Force the full max-length search (the upper bound; early stopping only
@@ -106,6 +148,7 @@ def main():
     # threshold * best-other (both negative), so a hugely NEGATIVE threshold
     # makes the bar +inf and eos never fires. Same protocol as
     # docs/BENCHMARKS.md "Decoding".
+    _progress('train bench done; building decoder')
     from speechain_tpu.infer.asr import make_asr_decoder
     DB = 16
     dbatch_feat = batch["feat"][:DB]
@@ -115,12 +158,13 @@ def main():
     # the train step donates its input state, so the init-time `variables`
     # buffers are gone — decode from the live post-training state
     dec_vars = {"params": state.params, **state.mutables}
+    _progress('compiling decoder')
     out = decoder(dec_vars, dbatch_feat, dbatch_len)
-    jax.block_until_ready(out["hypo_text"])
-    # measurement hardening: vary the input every call (a remote-execution
-    # service may replay identical (executable, args) requests) and
-    # materialize the result on the host (a copy cannot be faked)
+    # host copy: block_until_ready alone can acknowledge early through the
+    # remote link; a value copy cannot
     import numpy as _np
+    _np.asarray(out["hypo_text"])
+    _progress('decoder compiled; timing')
     n_dec = 5
     t0 = time.perf_counter()
     for r in range(n_dec):
@@ -131,6 +175,7 @@ def main():
     decode_utt_per_sec = DB / dec_dt / n_chips
     decode_rt_factor = DB * SECS / dec_dt / n_chips   # audio-seconds/second
 
+    _progress('done')
     print(json.dumps({
         "metric": "asr_train_melframes_per_sec_per_chip",
         "value": value,
