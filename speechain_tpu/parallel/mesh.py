@@ -21,14 +21,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None,
+              n_seq: int = 1) -> Mesh:
+    """Device mesh. Axes: ('data', 'model') by default; with ``n_seq > 1``
+    a third 'seq' axis is added — ('data', 'seq', 'model') — for
+    sequence parallelism (time-axis activation sharding in
+    :func:`train_step_gspmd`)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), \
-        f"need {n_data * n_model} devices, have {len(devices)}"
-    dev_array = np.asarray(devices[: n_data * n_model]).reshape(
-        n_data, n_model)
+        n_data = len(devices) // (n_model * n_seq)
+    need = n_data * n_model * n_seq
+    assert need <= len(devices), \
+        f"need {need} devices, have {len(devices)}"
+    if n_seq > 1:
+        dev_array = np.asarray(devices[:need]).reshape(
+            n_data, n_seq, n_model)
+        return Mesh(dev_array, ("data", "seq", "model"))
+    dev_array = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(dev_array, ("data", "model"))
 
 
@@ -86,10 +95,22 @@ def train_step_gspmd(step_fn: Callable, mesh: Mesh,
 
     ``step_fn`` must be written WITHOUT axis_name collectives
     (axis_name=None): the batch it sees is the global batch.
+
+    If the mesh has a 'seq' axis (``make_mesh(n_seq=...)``), the TIME axis
+    (dim 1) of rank>=2 batch arrays is additionally sharded over it —
+    sequence parallelism: frame-local work (frontend, FFN, LayerNorm,
+    prenet convs) partitions along time and the partitioner inserts the
+    collectives attention needs (K/V all-gather / resharding). Useful when
+    a single utterance's activations dominate memory (long audio).
     """
+    seq = "seq" if "seq" in mesh.axis_names else None
+
     def place(x):
         if hasattr(x, "ndim") and x.ndim >= 1:
-            return NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1))))
+            spec = ["data"] + [None] * (x.ndim - 1)
+            if seq is not None and x.ndim >= 2:
+                spec[1] = seq
+            return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     def wrapped(state, batch, rng):

@@ -74,8 +74,8 @@ def test_arasr_gspmd_dp_tp_matches_single_device():
     tx = optax.sgd(1e-2)
     step = make_arasr_step(net, cfg, tx, axis_name=None, train=True)
 
-    def one_step(n_data, n_model):
-        mesh = make_mesh(n_data=n_data, n_model=n_model)
+    def one_step(n_data, n_model, n_seq=1):
+        mesh = make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq)
         jstep = train_step_gspmd(step, mesh, donate_state=False)
         state = init_train_state(variables, tx)
         new_state, metrics = jstep(state, batch, RNG)
@@ -89,6 +89,13 @@ def test_arasr_gspmd_dp_tp_matches_single_device():
     # running feat-norm stats and conformer BatchNorm batch stats must also
     # be device-layout independent
     _assert_tree_close(m1, mN, atol=2e-6)
+    # sequence parallelism on top: the raw-waveform time axis sharded over
+    # 'seq' (dp2 x seq2 x tp2) — frontend framing, conv prenet, conformer
+    # and CTC must all survive time-axis partitioning unchanged
+    pS, mS, lS = one_step(2, 2, 2)
+    assert abs(l1 - lS) < 1e-5, (l1, lS)
+    _assert_tree_close(p1, pS, atol=2e-6)
+    _assert_tree_close(m1, mS, atol=2e-6)
 
 
 def _artts_cfg():

@@ -37,8 +37,8 @@ def test_gspmd_step_matches_single_device(layout):
     tx = optax.sgd(1e-2)
     step = make_lm_step(net, tx, axis_name=None, train=True)
 
-    def one_step(n_data, n_model):
-        mesh = make_mesh(n_data=n_data, n_model=n_model)
+    def one_step(n_data, n_model, n_seq=1):
+        mesh = make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq)
         jstep = train_step_gspmd(step, mesh, donate_state=False)
         state = init_train_state(variables, tx)
         new_state, metrics = jstep(state, batch, RNG)
@@ -46,6 +46,38 @@ def test_gspmd_step_matches_single_device(layout):
 
     p1, l1 = one_step(1, 1)
     pN, lN = one_step(*layout)
+    assert abs(l1 - lN) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(pN)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_gspmd_seq_parallel_matches_single_device():
+    """dp2 x seq2 x tp2: the token axis of the batch is sharded over 'seq'
+    (sequence parallelism) on top of dp x tp; one SGD step must still match
+    the 1-device step — the partitioner only moves compute."""
+    cfg = LMConfig(vocab_size=32, emb=dict(embedding_dim=32),
+                   encoder=dict(d_model=32, num_heads=4, num_layers=2,
+                                fdfwd_dim=128))
+    net = LanguageModelNet(cfg=cfg)
+    B, L = 8, 16
+    text = jax.random.randint(RNG, (B, L), 1, 31)
+    batch = dict(text=text, text_len=jnp.full((B,), L, jnp.int32))
+    variables = net.init({"params": RNG, "dropout": RNG}, batch["text"],
+                         batch["text_len"])
+    tx = optax.sgd(1e-2)
+    step = make_lm_step(net, tx, axis_name=None, train=True)
+
+    def one_step(n_data, n_model, n_seq):
+        mesh = make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq)
+        assert ("seq" in mesh.axis_names) == (n_seq > 1)
+        jstep = train_step_gspmd(step, mesh, donate_state=False)
+        state = init_train_state(variables, tx)
+        new_state, metrics = jstep(state, batch, RNG)
+        return jax.device_get(new_state.params), float(metrics["loss"])
+
+    p1, l1 = one_step(1, 1, 1)
+    pN, lN = one_step(2, 2, 2)
     assert abs(l1 - lN) < 1e-5
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(pN)):
