@@ -47,6 +47,10 @@ def main():
     except Exception:
         pass
 
+    from speechain_tpu.utils.hardware import enable_hardware_rng
+    rbg = enable_hardware_rng()
+    _progress(f'hardware rng: {rbg}')
+
     from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
     from speechain_tpu.ops.feat_norm import FeatNormConfig
     from speechain_tpu.ops.frontend import FrontendConfig

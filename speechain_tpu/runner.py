@@ -295,6 +295,8 @@ def train_main(cfg: Dict, args):
 
     from speechain_tpu.builders import (build_model, build_spk2idx,
                                         build_tokenizer)
+    from speechain_tpu.utils.hardware import enable_hardware_rng
+    enable_hardware_rng()  # hardware RNG for dropout/specaug bits on TPU
     from speechain_tpu.parallel.mesh import make_mesh, train_step_under_mesh
     from speechain_tpu.train.checkpoint import (BestModelTracker,
                                                 CheckpointManager)

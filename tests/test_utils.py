@@ -277,3 +277,12 @@ def test_main_data_and_data_len_accept_lists(tmp_path):
     assert sorted(ds.get_data_index()) == ["u1", "u2", "u3"]
     it = Iterator(dataset=ds, data_len=[str(la), str(lb)], batch_size=2)
     assert sorted(it.data_len) == ["u1", "u2", "u3"]
+
+
+def test_enable_hardware_rng_noop_on_cpu(monkeypatch):
+    # tests run with the cpu platform forced; the switch must refuse and
+    # leave the default threefry implementation alone
+    from speechain_tpu.utils.hardware import enable_hardware_rng
+    assert enable_hardware_rng() is False
+    monkeypatch.setenv("SPEECHAIN_THREEFRY", "1")
+    assert enable_hardware_rng() is False
