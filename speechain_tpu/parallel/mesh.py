@@ -149,6 +149,42 @@ def train_step_under_mesh(step_fn: Callable, mesh: Mesh,
     return jax.jit(run, donate_argnums=(0,) if donate_state else ())
 
 
+def multi_batch_step_under_mesh(step_fn: Callable, mesh: Mesh,
+                                donate_state: bool = True) -> Callable:
+    """Device-resident loop over K DISTINCT batches in one executable.
+
+    ``f(state, stacked_batch, rng) -> (state, metrics)`` where every array
+    leaf of ``stacked_batch`` carries a leading K axis (K host batches
+    stacked with ``np.stack``); the scan consumes one batch per step.
+    ``metrics`` leaves come back stacked ``(K, ...)`` so the monitor can
+    log each step. The rng passes through unchanged: every step factory
+    folds it with ``state.step`` internally (train/state.py), so the scan
+    is EXACTLY equivalent to K sequential ``train_step_under_mesh`` calls
+    with the same rng. This is the production form of
+    :func:`multi_step_under_mesh` (which re-uses one batch and exists for
+    benchmarking): per-dispatch host/link latency is paid once per K real
+    optimizer updates.
+    """
+    def scanned(state, stacked, rng):
+        def one(carry, batch):
+            return step_fn(carry, batch, rng)
+        return jax.lax.scan(one, state, stacked)
+
+    def run(state, stacked, rng):
+        batch_specs = jax.tree_util.tree_map(
+            lambda x: P(None, "data") if getattr(x, "ndim", 0) >= 2
+            else P(), stacked)
+        wrapped = jax.shard_map(
+            scanned, mesh=mesh,
+            in_specs=(P(), batch_specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return wrapped(state, stacked, rng)
+
+    return jax.jit(run, donate_argnums=(0,) if donate_state else ())
+
+
 def multi_step_under_mesh(step_fn: Callable, mesh: Mesh, n_steps: int,
                           donate_state: bool = True) -> Callable:
     """Run ``n_steps`` train steps in ONE compiled executable:

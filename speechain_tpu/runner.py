@@ -81,6 +81,11 @@ def parse_args(argv=None):
     p.add_argument("--num_workers", type=int, default=4,
                    help="host loader worker threads (reference DataLoader "
                         "num_workers)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="compile K optimizer updates into one executable "
+                        "(lax.scan over stacked same-shape batches); pays "
+                        "host/link dispatch latency once per K steps. "
+                        "Numerically identical to K single steps.")
     p.add_argument("--num_worker_procs", type=int, default=0,
                    help="host loader worker PROCESSES (collate included); "
                         "use on multi-core hosts where the GIL caps the "
@@ -398,6 +403,17 @@ def train_main(cfg: Dict, args):
             mk_step(net, net_cfg, tx, axis_name="data", train=False),
             mesh, donate_state=False)
 
+    # device-resident multi-step dispatch: K same-shape batches scanned in
+    # one executable. The step folds rng by state.step internally, so this
+    # is numerically identical to K single jtrain calls (test_multi_step).
+    spd = max(1, int(getattr(args, "steps_per_dispatch", 1) or 1))
+    jtrain_multi = None
+    if spd > 1 and not multi_domain and not args.dry_run \
+            and not args.no_optim:
+        from speechain_tpu.parallel.mesh import multi_batch_step_under_mesh
+        jtrain_multi = multi_batch_step_under_mesh(
+            mk_step(net, net_cfg, tx, axis_name="data", train=True), mesh)
+
     ckpt = CheckpointManager(result_path)
     tracker = BestModelTracker(
         rules=[("loss", "min", cfg["best_model_num"])],
@@ -439,7 +455,35 @@ def train_main(cfg: Dict, args):
         train_iter = (loaders["train"].epoch(epoch) if args.dry_run else
                       device_prefetch(loaders["train"].epoch(epoch),
                                       lambda b: to_device_batch(b, epoch)))
-        for db in train_iter:
+
+        def chunked(it):
+            """Group consecutive SAME-SHAPE device batches into runs of up
+            to ``spd`` for one-dispatch scanning; shape changes (bucket
+            boundaries) flush the run."""
+            if jtrain_multi is None:
+                for db in it:
+                    yield [db]
+                return
+            pending, sig = [], None
+
+            def shapes(b):
+                return tuple(sorted(
+                    (k, tuple(getattr(v, "shape", ())), str(getattr(
+                        v, "dtype", ""))) for k, v in b.items()))
+            for db in it:
+                s = shapes(db)
+                if pending and s != sig:
+                    yield pending
+                    pending = []
+                sig = s
+                pending.append(db)
+                if len(pending) == spd:
+                    yield pending
+                    pending, sig = [], None
+            if pending:
+                yield pending
+
+        for chunk in chunked(train_iter):
             if profile_steps and profile_state == "off" \
                     and global_step >= profile_warmup:
                 jax.profiler.start_trace(
@@ -447,28 +491,41 @@ def train_main(cfg: Dict, args):
                 profile_state, profile_end = "on", global_step + profile_steps
                 logger.info("profiler trace started (steps %d-%d)",
                             global_step, profile_end - 1)
+            step_metrics = []
             with monitor.measure_time("step_time"):
                 if args.dry_run:
                     continue
                 try:
                     if args.no_optim:
-                        _, metrics = jvalid(state, db, ep_rng)
+                        _, metrics = jvalid(state, chunk[0], ep_rng)
+                        step_metrics = [metrics]
+                    elif len(chunk) == 1:
+                        state, metrics = jtrain(state, chunk[0], ep_rng)
+                        step_metrics = [metrics]
                     else:
-                        state, metrics = jtrain(state, db, ep_rng)
+                        stacked = jax.tree_util.tree_map(
+                            lambda *xs: jnp.stack(xs, 0), *chunk)
+                        state, metrics = jtrain_multi(state, stacked,
+                                                      ep_rng)
+                        step_metrics = [
+                            jax.tree_util.tree_map(lambda m, i=i: m[i],
+                                                   metrics)
+                            for i in range(len(chunk))]
                 except Exception:
                     # step-level fault tolerance (runner.py:1079-1092)
                     if not args.ignore_train_exception:
                         raise
                     logger.exception("step skipped after exception")
                     continue
-            global_step += 1
+            global_step += len(chunk)
             if profile_state == "on" and global_step >= profile_end:
-                jax.block_until_ready(metrics["loss"])
+                jax.block_until_ready(step_metrics[-1]["loss"])
                 jax.profiler.stop_trace()
                 profile_state = "done"
                 logger.info("profiler trace written to %s",
                             os.path.join(result_path, "profile"))
-            monitor.train_step(metrics)
+            for metrics in step_metrics:
+                monitor.train_step(metrics)
         monitor.finish_train_epoch(epoch)
         monitor.record_trainable_scalars(state.params, epoch)
         monitor.log_device_memory()

@@ -72,3 +72,44 @@ def test_scan_matches_sequential():
     for a, b in zip(jax.tree_util.tree_leaves(st_seq.params),
                     jax.tree_util.tree_leaves(st_scan.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_multi_batch_scan_matches_sequential():
+    """multi_batch_step_under_mesh: scanning K DISTINCT stacked batches in
+    one executable must match K sequential steps over those batches."""
+    import numpy as onp
+
+    from speechain_tpu.parallel.mesh import (make_mesh,
+                                             multi_batch_step_under_mesh,
+                                             train_step_under_mesh)
+
+    step, state0, batch, tx, key = _tiny_setup()
+    mesh = make_mesh(n_data=8)
+    K = 4
+    batches = []
+    for i in range(K):
+        b = dict(batch)
+        b["feat"] = batch["feat"] + 0.01 * (i + 1)
+        b["text"] = (batch["text"] + i) % 10 + 2
+        batches.append(b)
+
+    jstep = train_step_under_mesh(step, mesh, donate_state=False)
+    st_seq = state0
+    losses_seq = []
+    for b in batches:
+        # same rng every call: the step folds it with state.step itself,
+        # which is exactly what the scanned form relies on
+        st_seq, m = jstep(st_seq, b, key)
+        losses_seq.append(float(m["loss"]))
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], 0), *batches)
+    jmulti = multi_batch_step_under_mesh(step, mesh, donate_state=False)
+    st_scan, metrics = jmulti(state0, stacked, key)
+    onp.testing.assert_allclose(onp.asarray(metrics["loss"]),
+                                onp.asarray(losses_seq), atol=2e-5)
+    assert int(st_scan.step) == K
+    for a, b in zip(jax.tree_util.tree_leaves(st_seq.params),
+                    jax.tree_util.tree_leaves(st_scan.params)):
+        onp.testing.assert_allclose(onp.asarray(a), onp.asarray(b),
+                                    atol=1e-3)

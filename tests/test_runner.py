@@ -216,3 +216,78 @@ def test_resume_restores_epoch(tmp_path):
     with open(os.path.join(exp, "checkpoint_meta.json")) as f:
         import json
         assert json.load(f)["epoch"] == 3
+
+
+def test_data_cfg_flag_swaps_test_sets(tmp_path):
+    """--data_cfg <yaml> replaces the exp_cfg data block at test time
+    (reference runner.py data_cfg override; recipes/**/data_cfg grid)."""
+    from speechain_tpu import runner
+
+    root = make_dataset(str(tmp_path / "data"), n_train=10, n_valid=6,
+                        n_test=6)
+    exp = str(tmp_path / "exp")
+    cfg_path = str(tmp_path / "exp_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TEMPLATE.format(root=root, epochs=1))
+    args = runner.parse_args(
+        ["--config", cfg_path, "--train", "--result_path", exp,
+         "--time_bucket", "1600"])
+    runner.train_main(runner.merge_config(args), args)
+
+    alt_path = str(tmp_path / "alt_data.yaml")
+    with open(alt_path, "w") as f:
+        f.write(f"""root: {root}
+data_cfg:
+  alt-valid:
+    type: abs
+    conf:
+      dataset_type: speech_text
+      dataset_conf:
+        main_data:
+          wav: !ref <root>/valid/idx2wav
+          text: !ref <root>/valid/idx2text
+      data_len: !ref <root>/valid/idx2wav_len
+      shuffle: False
+      batch_size: 8
+""")
+    targs = runner.parse_args(
+        ["--config", cfg_path, "--test", "--data_cfg", alt_path,
+         "--result_path", exp, "--test_model", "latest",
+         "--time_bucket", "1600"])
+    results = runner.test_main(runner.merge_config(targs), targs)
+    assert set(results) == {"alt-valid"}
+    out_dir = os.path.join(exp, "latest", "alt-valid")
+    assert os.path.exists(os.path.join(out_dir, "overall_results.md"))
+    assert os.path.exists(os.path.join(out_dir, "idx2hypo_text"))
+
+
+def test_steps_per_dispatch_is_numerically_invisible(tmp_path):
+    """--steps_per_dispatch K scans K same-shape batches in one executable;
+    the step folds rng by state.step internally, so the final parameters
+    must be bit-comparable to the single-step path."""
+    import jax
+    import numpy as onp
+
+    from speechain_tpu import runner
+    from speechain_tpu.train.checkpoint import CheckpointManager
+
+    root = make_dataset(str(tmp_path / "data"), n_train=16, n_valid=4,
+                        n_test=4)
+    cfg_path = str(tmp_path / "exp_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TEMPLATE.format(root=root, epochs=2))
+
+    params = {}
+    for spd in (1, 4):
+        exp = str(tmp_path / f"exp_spd{spd}")
+        args = runner.parse_args(
+            ["--config", cfg_path, "--train", "--result_path", exp,
+             "--time_bucket", "1600", "--steps_per_dispatch", str(spd)])
+        runner.train_main(runner.merge_config(args), args)
+        state, _ = CheckpointManager(exp).restore_train_state(None)
+        params[spd] = state["params"]
+
+    for a, b in zip(jax.tree_util.tree_leaves(params[1]),
+                    jax.tree_util.tree_leaves(params[4])):
+        onp.testing.assert_allclose(onp.asarray(a), onp.asarray(b),
+                                    atol=2e-5)
