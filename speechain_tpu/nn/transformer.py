@@ -66,12 +66,24 @@ class TransformerEncoderLayer(nn.Module):
             att_out = ln_att(att_out)
 
         y = ln_ff(att_out) if self.layernorm_first else att_out
-        ff_hidden = PositionwiseFeedForward(
-            d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
-            fdfwd_type=self.fdfwd_type, fdfwd_activation=self.fdfwd_activation,
-            fdfwd_args=self.fdfwd_args, dropout=self.fdfwd_dropout,
-            dtype=self.dtype, name="feed_forward",
-        )(y, train=train)
+        if self.fdfwd_type == "moe":
+            # Switch mixture-of-experts FFN (nn/moe.py, beyond-parity);
+            # fdfwd_args carries num_experts / capacity_factor / ...
+            from speechain_tpu.nn.moe import SwitchFFN
+            ff_hidden = SwitchFFN(
+                d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
+                fdfwd_activation=self.fdfwd_activation,
+                dropout=self.fdfwd_dropout, dtype=self.dtype,
+                name="feed_forward", **(self.fdfwd_args or {}),
+            )(y, train=train)
+        else:
+            ff_hidden = PositionwiseFeedForward(
+                d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
+                fdfwd_type=self.fdfwd_type,
+                fdfwd_activation=self.fdfwd_activation,
+                fdfwd_args=self.fdfwd_args, dropout=self.fdfwd_dropout,
+                dtype=self.dtype, name="feed_forward",
+            )(y, train=train)
         out = drop(ff_hidden) + att_out
         if not self.layernorm_first:
             out = ln_ff(out)

@@ -64,6 +64,11 @@ def param_sharding_rules(path: Tuple, leaf) -> P:
     seeds. Biases/LayerNorm scales stay replicated.
     """
     names = [str(p) for p in path]
+    if any("expert" in n for n in names) and getattr(leaf, "ndim", 0) >= 2:
+        # MoE expert tensors (E, ...): expert parallelism — shard the
+        # expert axis over 'model'; dispatch/combine einsums become the
+        # partitioner's all-to-all-style collectives (nn/moe.py)
+        return P(*(("model",) + (None,) * (leaf.ndim - 1)))
     if getattr(leaf, "ndim", 0) >= 2 and leaf.size >= 1 << 16:
         if any("embed" in n or "kernel" in n for n in names):
             spec = [None] * leaf.ndim

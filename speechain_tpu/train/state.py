@@ -200,11 +200,18 @@ def make_lm_step(net, tx, *, label_smoothing: float = 0.0,
 
     def apply_loss(params, mutables, batch, rng, is_train):
         variables = {"params": params, **mutables}
-        logits, _, _ = net.apply(variables, batch["text"],
-                                 batch["text_len"], train=is_train,
-                                 rngs={"dropout": rng})
+        (logits, _, _), sown = net.apply(variables, batch["text"],
+                                         batch["text_len"], train=is_train,
+                                         rngs={"dropout": rng},
+                                         mutable=["losses"])
         loss, metrics = lm_loss(logits, batch["text"], batch["text_len"],
                                 label_smoothing=label_smoothing)
+        # auxiliary losses sown by modules (MoE load balancing, nn/moe.py)
+        aux_leaves = jax.tree_util.tree_leaves(sown.get("losses", {}))
+        if aux_leaves:
+            aux = sum(aux_leaves)
+            loss = loss + aux
+            metrics = dict(metrics, moe_aux=aux)
         return loss, (metrics, {})
 
     return _generic_train_step(apply_loss, tx, axis_name=axis_name,

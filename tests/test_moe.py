@@ -1,0 +1,109 @@
+"""Switch-MoE FFN (nn/moe.py): routing/capacity semantics, the sown
+load-balancing loss reaching the LM objective, and expert-parallel GSPMD
+equivalence (expert axis sharded over 'model')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+pytestmark = pytest.mark.slow
+
+RNG = jax.random.PRNGKey(0)
+
+
+def test_switch_ffn_routes_and_masks():
+    from speechain_tpu.nn.moe import SwitchFFN
+
+    D, E = 8, 4
+    ffn = SwitchFFN(d_model=D, fdfwd_dim=16, num_experts=E,
+                    capacity_factor=8.0, dropout=0.0)
+    x = jax.random.normal(RNG, (2, 12, D))
+    variables = ffn.init({"params": RNG}, x)
+    out, sown = ffn.apply(variables, x, mutable=["losses"])
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    aux = sown["losses"]["moe_aux"]
+    # Switch aux = w * E * sum_e f_e P_e >= w (minimum at uniform routing)
+    assert float(aux) >= 0.0099
+
+    # with near-zero capacity every token is dropped -> output all zeros
+    tiny = SwitchFFN(d_model=D, fdfwd_dim=16, num_experts=E,
+                     capacity_factor=1e-9, dropout=0.0)
+    vt = tiny.init({"params": RNG}, x)
+    # capacity clamps at 8 slots/expert; use enough tokens that most drop
+    xx = jax.random.normal(RNG, (4, 64, D))
+    out2 = tiny.apply(vt, xx, mutable=["losses"])[0]
+    kept = np.count_nonzero(np.abs(np.asarray(out2)).sum(-1) > 1e-9)
+    assert kept <= 4 * 8 * E  # at most cap tokens per expert survive
+
+
+def _moe_lm():
+    from speechain_tpu.nn.lm import LanguageModelNet, LMConfig
+
+    cfg = LMConfig(
+        vocab_size=32, emb=dict(embedding_dim=32),
+        encoder=dict(d_model=32, num_heads=4, num_layers=2, fdfwd_dim=64,
+                     fdfwd_type="moe",
+                     fdfwd_args=dict(num_experts=2, capacity_factor=2.0)))
+    return LanguageModelNet(cfg=cfg)
+
+
+def test_moe_lm_aux_loss_and_training():
+    from speechain_tpu.parallel.mesh import make_mesh, train_step_under_mesh
+    from speechain_tpu.train.optim import build_optimizer
+    from speechain_tpu.train.state import init_train_state, make_lm_step
+
+    net = _moe_lm()
+    B, L = 8, 16
+    text = jax.random.randint(RNG, (B, L), 1, 31)
+    batch = dict(text=text, text_len=jnp.full((B,), L, jnp.int32))
+    variables = net.init({"params": RNG, "dropout": RNG}, batch["text"],
+                         batch["text_len"])
+    assert any("expert" in "/".join(map(str, p))
+               for p, _ in jax.tree_util.tree_flatten_with_path(
+                   variables["params"])[0])
+    tx = build_optimizer(optim_conf={"lr": 3e-3}, warmup_steps=20)
+    step = make_lm_step(net, tx, axis_name="data", train=True)
+    mesh = make_mesh(n_data=8)
+    jstep = train_step_under_mesh(step, mesh, donate_state=False)
+    state = init_train_state(variables, tx)
+    first = None
+    for i in range(40):
+        state, m = jstep(state, batch, jax.random.fold_in(RNG, i))
+        if first is None:
+            first = float(m["loss"])
+            assert "moe_aux" in m and float(m["moe_aux"]) > 0
+    last = float(m["loss"])
+    assert np.isfinite(last) and last < first - 0.5, (first, last)
+
+
+def test_moe_expert_parallel_matches_single_device():
+    """GSPMD dp4 x ep2: expert tensors sharded over 'model'; one SGD step
+    must match the single-device step."""
+    from speechain_tpu.parallel.mesh import make_mesh, train_step_gspmd
+    from speechain_tpu.train.state import init_train_state, make_lm_step
+
+    net = _moe_lm()
+    B, L = 8, 16
+    text = jax.random.randint(RNG, (B, L), 1, 31)
+    batch = dict(text=text, text_len=jnp.full((B,), L, jnp.int32))
+    variables = net.init({"params": RNG, "dropout": RNG}, batch["text"],
+                         batch["text_len"])
+    tx = optax.sgd(1e-2)
+    step = make_lm_step(net, tx, axis_name=None, train=True)
+
+    def one_step(n_data, n_model):
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        jstep = train_step_gspmd(step, mesh, donate_state=False)
+        state = init_train_state(variables, tx)
+        new_state, metrics = jstep(state, batch, RNG)
+        return jax.device_get(new_state.params), float(metrics["loss"])
+
+    p1, l1 = one_step(1, 1)
+    pN, lN = one_step(4, 2)
+    assert abs(l1 - lN) < 1e-5, (l1, lN)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(pN)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
