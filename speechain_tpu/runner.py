@@ -85,7 +85,10 @@ def parse_args(argv=None):
                    help="compile K optimizer updates into one executable "
                         "(lax.scan over stacked same-shape batches); pays "
                         "host/link dispatch latency once per K steps. "
-                        "Numerically identical to K single steps.")
+                        "Numerically identical to K single steps. On "
+                        "remote-tunnel backends where Mosaic kernels "
+                        "deoptimize inside loops (docs/BENCHMARKS.md), "
+                        "combine with SPEECHAIN_DISABLE_PALLAS=1.")
     p.add_argument("--num_worker_procs", type=int, default=0,
                    help="host loader worker PROCESSES (collate included); "
                         "use on multi-core hosts where the GIL caps the "
