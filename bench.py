@@ -82,10 +82,10 @@ def main():
     )
     net = ARASRNet(cfg=cfg)
 
-    # B=64 by default: at small batches the measurement is dispatch-latency
-    # bound (B=16 and B=64 both take ~6 ms/step through the device link);
-    # B=64 keeps the MXU busy and reflects production batch sizes.
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    # B=128 by default — the measured sweet spot on v5e: 639k frames/s vs
+    # 576k at B=64 (fixed per-step cost amortizes) and 530k at B=256
+    # (something saturates; see docs/BENCHMARKS.md batch-scaling table).
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     SECS, L = 8, 32
     T = SECS * 16000
     rng = jax.random.PRNGKey(0)
