@@ -463,20 +463,24 @@ class RandomSpkFeatDataset(SpeechTextDataset):
             self.spk_pick_counts = {k: 0 for k in self.spk_feat_keys}
         self.mixup_number = mixup_number
 
-    def _pick_balanced(self) -> str:
-        # frequency balancing: prefer least-picked entries
+    def _pick_balanced(self, weight: int = 1) -> str:
+        # frequency balancing: prefer least-picked entries. The pick count
+        # advances by the utterance's text length when known (reference
+        # get_min_indices_by_freq freq_weights=len(text),
+        # speech_text.py:560-583) so long utterances "use up" a speaker
+        # faster on length-varied corpora.
         min_count = min(self.spk_pick_counts.values())
         cands = [k for k, c in self.spk_pick_counts.items() if c == min_count]
         key = self._rng.choice(cands)
-        self.spk_pick_counts[key] += 1
+        self.spk_pick_counts[key] += max(1, int(weight))
         return key
 
-    def _pick_spk(self):
+    def _pick_spk(self, weight: int = 1):
         """-> (spk_feat_id, spk_id or None, embedding path)."""
         if self.spk2feat_keys is None:
-            key = self._pick_balanced()
+            key = self._pick_balanced(weight)
             return key, None, self.spk_feat_paths[key]
-        spk_id = self._pick_balanced()
+        spk_id = self._pick_balanced(weight)
         if spk_id in self.spk2aver_spk_feat:
             # reference names the pick 'aver_spk_feat' (speech_text.py:629)
             return "aver_spk_feat", spk_id, self.spk2aver_spk_feat[spk_id]
@@ -485,9 +489,14 @@ class RandomSpkFeatDataset(SpeechTextDataset):
 
     def extract_main_data_fn(self, main_data: Dict[str, str]) -> Dict[str, Any]:
         out = super().extract_main_data_fn(main_data)
+        if out is None:
+            # parent dropped the utterance (all-unvoiced pitch,
+            # speech_text.py:313) — propagate the drop instead of crashing
+            return None
+        weight = len(out["text"]) if "text" in out else 1
         feats, refs, spks = [], [], []
         for _ in range(self.mixup_number):
-            key, spk_id, path = self._pick_spk()
+            key, spk_id, path = self._pick_spk(weight)
             refs.append(key)
             if spk_id is not None:
                 spks.append(spk_id)

@@ -11,8 +11,10 @@ expert (Switch Transformer, Fedus et al. 2021), built TPU-first:
   axis, so the GSPMD partitioner turns dispatch/combine into
   all-to-all-style collectives (expert parallelism);
 - the load-balancing auxiliary loss is sown into the ``losses``
-  collection; steps that pass ``mutable=['losses']`` (the LM step does)
-  add it to the objective, elsewhere it is inert.
+  collection; EVERY step factory in ``train/state.py`` requests
+  ``mutable=['losses']`` and adds the sown sum to its objective
+  (``_aux_from_losses``), so ``fdfwd_type: moe`` is balanced in all
+  model families (ASR/TTS/FS2/LM, single- and multi-domain).
 
 Tokens overflowing an expert's static capacity are dropped (output 0 —
 the residual connection carries them), Switch semantics.

@@ -495,16 +495,20 @@ def train_main(cfg: Dict, args):
                 logger.info("profiler trace started (steps %d-%d)",
                             global_step, profile_end - 1)
             step_metrics = []
-            with monitor.measure_time("step_time"):
+            with monitor.measure_time("step_time", n=len(chunk)):
                 if args.dry_run:
                     continue
                 try:
                     if args.no_optim:
                         _, metrics = jvalid(state, chunk[0], ep_rng)
                         step_metrics = [metrics]
-                    elif len(chunk) == 1:
-                        state, metrics = jtrain(state, chunk[0], ep_rng)
-                        step_metrics = [metrics]
+                    elif len(chunk) < spd or jtrain_multi is None:
+                        # short chunks (bucket boundaries / epoch tails) run
+                        # as single steps — jtrain_multi would recompile its
+                        # K-step scan for every distinct chunk length
+                        for db in chunk:
+                            state, metrics = jtrain(state, db, ep_rng)
+                            step_metrics.append(metrics)
                     else:
                         stacked = jax.tree_util.tree_map(
                             lambda *xs: jnp.stack(xs, 0), *chunk)

@@ -188,10 +188,13 @@ class TrainValidMonitor:
         self.step = 0
 
     @contextlib.contextmanager
-    def measure_time(self, name: str):
+    def measure_time(self, name: str, n: int = 1):
+        """Time a block; with ``n > 1`` (a K-step dispatch) record the
+        per-step time n times so step counts and means stay honest."""
         t0 = time.perf_counter()
         yield
-        self.time_records[name].append(time.perf_counter() - t0)
+        dt = (time.perf_counter() - t0) / max(1, n)
+        self.time_records[name].extend([dt] * max(1, n))
 
     def train_step(self, metrics: Dict[str, Any], lr: Optional[float] = None):
         self.step += 1

@@ -33,6 +33,20 @@ def init_train_state(variables: Dict[str, Any],
                       opt_state=tx.init(params), mutables=mutables)
 
 
+def _aux_from_losses(new_mut):
+    """Split a flax ``apply`` mutated-collections dict into (aux, rest):
+    ``aux`` is the summed leaves of the sown ``losses`` collection (MoE
+    load balancing, nn/moe.py sow) or None when nothing was sown; ``rest``
+    is what should persist into ``TrainState.mutables``. Every step factory
+    below requests ``mutable=[... , 'losses']`` and adds ``aux`` to its
+    objective, so ``fdfwd_type: moe`` trains with its balancing loss in
+    EVERY family, not just the LM."""
+    new_mut = dict(new_mut)
+    sown = new_mut.pop("losses", {})
+    leaves = jax.tree_util.tree_leaves(sown)
+    return (sum(leaves) if leaves else None), new_mut
+
+
 def make_arasr_step(net, cfg, tx, *, axis_name: Optional[str] = "data",
                     train: bool = True) -> Callable:
     """Build the per-replica ASR train/valid step.
@@ -54,23 +68,19 @@ def make_arasr_step(net, cfg, tx, *, axis_name: Optional[str] = "data",
             variables = {"params": params, **state.mutables}
             mut = [k for k in mutable_keys if k in state.mutables] \
                 if train else []
-            if mut:
-                outputs, new_mutables = net.apply(
-                    variables, batch["feat"], batch["feat_len"],
-                    batch["text"], batch["text_len"], train=train,
-                    epoch=epoch, axis_name=axis_name,
-                    rngs={"dropout": k_drop, "specaug": k_spec},
-                    mutable=mut)
-            else:
-                outputs = net.apply(
-                    variables, batch["feat"], batch["feat_len"],
-                    batch["text"], batch["text_len"], train=train,
-                    epoch=epoch, axis_name=axis_name,
-                    rngs={"dropout": k_drop, "specaug": k_spec})
-                new_mutables = {}
+            outputs, new_mutables = net.apply(
+                variables, batch["feat"], batch["feat_len"],
+                batch["text"], batch["text_len"], train=train,
+                epoch=epoch, axis_name=axis_name,
+                rngs={"dropout": k_drop, "specaug": k_spec},
+                mutable=mut + ["losses"])
+            aux, new_mutables = _aux_from_losses(new_mutables)
             loss, metrics = arasr_loss(outputs, batch["text"],
                                        batch["text_len"], cfg)
-            return loss, (metrics, dict(new_mutables))
+            if aux is not None:
+                loss = loss + aux
+                metrics = dict(metrics, moe_aux=aux)
+            return loss, (metrics, new_mutables)
 
         if train:
             grads, (metrics, new_mut) = jax.grad(
@@ -142,17 +152,15 @@ def make_artts_step(net, cfg, tx, *, axis_name: Optional[str] = "data",
                       spk_ids=batch.get("spk_ids"),
                       spk_feat=batch.get("spk_feat"),
                       rngs={"dropout": rng})
-        if mut:
-            outputs, new_mut = net.apply(
-                variables, batch["text"], batch["text_len"], batch["feat"],
-                batch["feat_len"], mutable=mut, **kwargs)
-        else:
-            outputs = net.apply(
-                variables, batch["text"], batch["text_len"], batch["feat"],
-                batch["feat_len"], **kwargs)
-            new_mut = {}
+        outputs, new_mut = net.apply(
+            variables, batch["text"], batch["text_len"], batch["feat"],
+            batch["feat_len"], mutable=mut + ["losses"], **kwargs)
+        aux, new_mut = _aux_from_losses(new_mut)
         loss, metrics = artts_loss(outputs, cfg)
-        return loss, (metrics, dict(new_mut))
+        if aux is not None:
+            loss = loss + aux
+            metrics = dict(metrics, moe_aux=aux)
+        return loss, (metrics, new_mut)
 
     return _generic_train_step(apply_loss, tx, axis_name=axis_name,
                                train=train)
@@ -179,14 +187,14 @@ def make_fastspeech2_step(net, cfg, tx, *, axis_name: Optional[str] = "data",
         args = (batch["text"], batch["text_len"], batch["feat"],
                 batch["feat_len"], batch["pitch"], batch["pitch_len"],
                 batch["duration"], batch["duration_len"])
-        if mut:
-            outputs, new_mut = net.apply(variables, *args, mutable=mut,
-                                         **kwargs)
-        else:
-            outputs = net.apply(variables, *args, **kwargs)
-            new_mut = {}
+        outputs, new_mut = net.apply(variables, *args,
+                                     mutable=mut + ["losses"], **kwargs)
+        aux, new_mut = _aux_from_losses(new_mut)
         loss, metrics = fastspeech2_loss(outputs, batch["duration"], cfg)
-        return loss, (metrics, dict(new_mut))
+        if aux is not None:
+            loss = loss + aux
+            metrics = dict(metrics, moe_aux=aux)
+        return loss, (metrics, new_mut)
 
     return _generic_train_step(apply_loss, tx, axis_name=axis_name,
                                train=train)
@@ -288,17 +296,15 @@ def make_multi_domain_artts_step(net, cfg, tx, *,
                       spk_ids=batch.get("spk_ids"),
                       spk_feat=batch.get("spk_feat"),
                       rngs={"dropout": rng})
-        if mut:
-            outputs, new_mut = net.apply(
-                variables, batch["text"], batch["text_len"], batch["feat"],
-                batch["feat_len"], mutable=mut, **kwargs)
-        else:
-            outputs = net.apply(
-                variables, batch["text"], batch["text_len"], batch["feat"],
-                batch["feat_len"], **kwargs)
-            new_mut = {}
+        outputs, new_mut = net.apply(
+            variables, batch["text"], batch["text_len"], batch["feat"],
+            batch["feat_len"], mutable=mut + ["losses"], **kwargs)
+        aux, new_mut = _aux_from_losses(new_mut)
         loss, metrics = artts_loss(outputs, cfg)
-        return loss, (metrics, dict(new_mut))
+        if aux is not None:
+            loss = loss + aux
+            metrics = dict(metrics, moe_aux=aux)
+        return loss, (metrics, new_mut)
 
     return make_multi_domain_step(apply_loss, tx, loss_weights=loss_weights,
                                   axis_name=axis_name, train=train)
@@ -341,22 +347,19 @@ def make_multi_domain_arasr_step(net, cfg, tx, *,
                 mut = [k for k in mutable_keys if k in mutables] \
                     if train else []
                 epoch = b.get("epoch", jnp.zeros((), jnp.int32))
-                if mut:
-                    outputs, new_mut = net.apply(
-                        variables, b["feat"], b["feat_len"], b["text"],
-                        b["text_len"], train=train, epoch=epoch,
-                        axis_name=axis_name,
-                        rngs={"dropout": k_drop, "specaug": k_spec},
-                        mutable=mut)
-                    mutables.update(dict(new_mut))
-                else:
-                    outputs = net.apply(
-                        variables, b["feat"], b["feat_len"], b["text"],
-                        b["text_len"], train=train, epoch=epoch,
-                        axis_name=axis_name,
-                        rngs={"dropout": k_drop, "specaug": k_spec})
+                outputs, new_mut = net.apply(
+                    variables, b["feat"], b["feat_len"], b["text"],
+                    b["text_len"], train=train, epoch=epoch,
+                    axis_name=axis_name,
+                    rngs={"dropout": k_drop, "specaug": k_spec},
+                    mutable=mut + ["losses"])
+                aux, new_mut = _aux_from_losses(new_mut)
+                mutables.update(new_mut)
                 d_loss, d_metrics = arasr_loss(outputs, b["text"],
                                                b["text_len"], cfg)
+                if aux is not None:
+                    d_loss = d_loss + aux
+                    d_metrics = dict(d_metrics, moe_aux=aux)
                 total = total + weights[d] * d_loss
                 metrics.update({f"{d}_{k}": v for k, v in d_metrics.items()})
             total = total / w_sum
