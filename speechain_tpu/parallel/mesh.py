@@ -20,25 +20,66 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def parse_mesh_spec(spec) -> Dict[str, int]:
+    """Parse the user-facing mesh request into axis sizes.
+
+    Accepts the ``--mesh`` CLI string (``"data=2,model=2"``,
+    ``"model=2,seq=2"``, ``"pipe=4"``) or a ``train_cfg.parallel`` YAML
+    block (``{data: 2, model: 2}``). Unknown axes raise; missing axes
+    default to 1 (``data`` defaults to None = fill remaining devices).
+    This is the runner surface for the reference's distributed flags
+    (reference runner.py:221) — every parallelism axis is selectable from
+    a recipe config.
+    """
+    # 'micro' is not a mesh axis: it is the pipeline microbatch count
+    # (n_micro = pipe * A gives an A-wide GPipe grad-accumulation window);
+    # 0 = auto (one microbatch per stage)
+    out: Dict[str, Any] = {"data": None, "model": 1, "seq": 1, "pipe": 1,
+                           "micro": 0}
+    if spec is None:
+        return out
+    if isinstance(spec, str):
+        items = [kv for kv in spec.replace(" ", "").split(",") if kv]
+        pairs = []
+        for kv in items:
+            k, _, v = kv.partition("=")
+            assert v, f"--mesh entry '{kv}' must be axis=size"
+            pairs.append((k, v))
+    else:
+        pairs = list(dict(spec).items())
+    for k, v in pairs:
+        assert k in out, (f"unknown mesh axis '{k}' "
+                          f"(choose from {sorted(out)})")
+        out[k] = int(v)
+        assert out[k] >= (0 if k == "micro" else 1), \
+            f"mesh axis {k} must be >= 1"
+    return out
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence] = None,
-              n_seq: int = 1) -> Mesh:
-    """Device mesh. Axes: ('data', 'model') by default; with ``n_seq > 1``
-    a third 'seq' axis is added — ('data', 'seq', 'model') — for
-    sequence parallelism (time-axis activation sharding in
-    :func:`train_step_gspmd`)."""
+              n_seq: int = 1, n_pipe: int = 1) -> Mesh:
+    """Device mesh. Axes: ('data', 'model') by default; ``n_seq > 1``
+    inserts a 'seq' axis (sequence parallelism: time-axis activation
+    sharding in :func:`train_step_gspmd`) and ``n_pipe > 1`` inserts a
+    'pipe' axis (pipeline parallelism, parallel/pipeline.py). Full order:
+    ('data', 'pipe', 'seq', 'model') with the optional axes present only
+    when requested."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // (n_model * n_seq)
-    need = n_data * n_model * n_seq
+        n_data = len(devices) // (n_model * n_seq * n_pipe)
+    sizes = [("data", n_data), ("pipe", n_pipe), ("seq", n_seq),
+             ("model", n_model)]
+    need = n_data * n_model * n_seq * n_pipe
     assert need <= len(devices), \
         f"need {need} devices, have {len(devices)}"
-    if n_seq > 1:
-        dev_array = np.asarray(devices[:need]).reshape(
-            n_data, n_seq, n_model)
-        return Mesh(dev_array, ("data", "seq", "model"))
-    dev_array = np.asarray(devices[:need]).reshape(n_data, n_model)
-    return Mesh(dev_array, ("data", "model"))
+    # optional axes ('pipe', 'seq') appear only when requested; 'data' and
+    # 'model' are always present (backward-compat mesh shapes)
+    axes = [(name, n) for name, n in sizes
+            if n > 1 or name in ("data", "model")]
+    dev_array = np.asarray(devices[:need]).reshape(
+        *[n for _, n in axes])
+    return Mesh(dev_array, tuple(name for name, _ in axes))
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
@@ -108,6 +149,15 @@ def train_step_gspmd(step_fn: Callable, mesh: Mesh,
     collectives attention needs (K/V all-gather / resharding). Useful when
     a single utterance's activations dominate memory (long audio).
     """
+    return jax.jit(_gspmd_wrap(step_fn, mesh),
+                   donate_argnums=(0,) if donate_state else ())
+
+
+def _gspmd_wrap(step_fn: Callable, mesh: Mesh) -> Callable:
+    """The (unjitted) GSPMD constraint wrapper behind
+    :func:`train_step_gspmd`; also reused by the scanned multi-batch form
+    below. ``batch`` may be a flat dict of arrays or a multi-domain dict of
+    such dicts ({'real': {...}, 'syn': {...}})."""
     seq = "seq" if "seq" in mesh.axis_names else None
 
     def place(x):
@@ -118,10 +168,15 @@ def train_step_gspmd(step_fn: Callable, mesh: Mesh,
             return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
+    def constrain(b):
+        if all(isinstance(v, dict) for v in b.values()) and b:
+            return {name: constrain(sub) for name, sub in b.items()}
+        return {k: (jax.lax.with_sharding_constraint(v, place(v))
+                    if hasattr(v, "ndim") else v)
+                for k, v in b.items()}
+
     def wrapped(state, batch, rng):
-        batch = {k: (jax.lax.with_sharding_constraint(v, place(v))
-                     if hasattr(v, "ndim") else v)
-                 for k, v in batch.items()}
+        batch = constrain(batch)
         params = jax.tree_util.tree_map_with_path(
             lambda p, l: jax.lax.with_sharding_constraint(
                 l, NamedSharding(mesh, param_sharding_rules(p, l))),
@@ -129,7 +184,23 @@ def train_step_gspmd(step_fn: Callable, mesh: Mesh,
         state = state._replace(params=params)
         return step_fn(state, batch, rng)
 
-    return jax.jit(wrapped, donate_argnums=(0,) if donate_state else ())
+    return wrapped
+
+
+def multi_batch_step_gspmd(step_fn: Callable, mesh: Mesh,
+                           donate_state: bool = True) -> Callable:
+    """GSPMD form of :func:`multi_batch_step_under_mesh`: scan K stacked
+    distinct batches through the constraint-wrapped global step in one
+    executable (the ``--steps_per_dispatch`` path on dp x tp / seq
+    meshes)."""
+    wrapped = _gspmd_wrap(step_fn, mesh)
+
+    def run(state, stacked, rng):
+        def one(carry, batch):
+            return wrapped(carry, batch, rng)
+        return jax.lax.scan(one, state, stacked)
+
+    return jax.jit(run, donate_argnums=(0,) if donate_state else ())
 
 
 def train_step_under_mesh(step_fn: Callable, mesh: Mesh,

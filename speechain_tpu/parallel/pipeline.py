@@ -1,4 +1,4 @@
-"""GPipe-style pipeline parallelism over a 'pipe' mesh axis.
+"""Pipeline parallelism over a 'pipe' mesh axis — GPipe fill-drain.
 
 The reference framework has no model parallelism at all (its scaling story
 is single-node DDP, reference runner.py:221/2014); this module is a
@@ -10,8 +10,27 @@ schedule is the classic fill-drain (GPipe) loop expressed as a
 while every other stage processes what it received on tick t-1.
 
 Differentiable end-to-end: the gradient of a ``ppermute`` is the reverse
-``ppermute``, so wrapping :func:`pipeline_apply` in a loss and calling
-``jax.grad`` yields pipeline-parallel backprop without extra code.
+``ppermute`` (and of ``all_to_all`` the reverse ``all_to_all``), so
+wrapping the pipeline in a loss and calling ``jax.grad`` yields
+pipeline-parallel backprop without extra code.
+
+Gradient accumulation is the microbatch count itself: ``n_micro = S * A``
+runs A fill-drain waves' worth of microbatches through one backward pass —
+the GPipe accumulation window — with loss averaged over all microbatches.
+
+Two entry points:
+
+- :func:`pipeline_apply` — generic activation-in/activation-out pipeline
+  over any same-shape residual ``layer_fn``; output assembly uses a single
+  ``all_to_all`` scatter (each stage ends holding 1/S of the result and
+  the shard_map out_spec reassembles it) instead of the old masked-psum
+  broadcast, so no stage ever materializes the full output.
+- :func:`make_lm_pipeline_step` — the REAL-model training path: the
+  flagship ``LanguageModelNet`` stage-split across 'pipe' (embedding +
+  posenc replicated, encoder layers pipelined, final-LN + postnet + loss
+  on the last stage, scalar loss psum'd), numerically matching the
+  sequential ``make_lm_step`` on the same batch. Selectable from the
+  runner via ``--mesh pipe=S`` / ``train_cfg.parallel``.
 """
 
 from __future__ import annotations
@@ -27,19 +46,63 @@ Array = jax.Array
 
 def stack_layer_params(params_list: Sequence[Any]):
     """Stack per-layer param pytrees (identical structure) along a new
-    leading 'layer' axis — the layout :func:`pipeline_apply` consumes."""
+    leading 'layer' axis — the layout the pipeline shards over 'pipe'."""
     return jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves, 0), *params_list)
 
 
-def pipeline_apply(layer_fn: Callable[[Any, Array], Array],
-                   stacked_params: Any,
-                   x: Array,
-                   mesh: Mesh,
-                   *,
-                   n_micro: Optional[int] = None,
+def _fill_drain(run_stage: Callable[[Array, Array], Array], micro: Array,
+                stage: Array, S: int, n_micro: int, axis: str) -> Array:
+    """The GPipe schedule inside a shard_map body.
+
+    ``run_stage(h, m)`` applies this stage's layers to activations ``h``
+    belonging to microbatch ``m`` (a traced index — used for per-microbatch
+    aux data and rng folding). ``micro``: (n_micro, mb, ...) local
+    microbatch queue (replicated over 'pipe'). Returns this stage's per-tick
+    outputs ``(n_ticks, mb, ...)``; the last stage's ticks ``S-1:`` are the
+    pipeline results in microbatch order.
+    """
+    zero = jnp.zeros_like(micro[0])
+    n_ticks = n_micro + S - 1
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def tick(carry, t):
+        recv = carry
+        feed = jnp.where(t < n_micro, micro[jnp.minimum(t, n_micro - 1)],
+                         zero)
+        h = jnp.where(stage == 0, feed, recv)
+        m = jnp.clip(t - stage, 0, n_micro - 1)
+        out = run_stage(h, m)
+        nxt = jax.lax.ppermute(out, axis, perm)
+        return nxt, out
+
+    _, outs = jax.lax.scan(tick, zero, jnp.arange(n_ticks))
+    return outs
+
+
+def _scatter_from_last(valid: Array, S: int, axis: str) -> Array:
+    """Distribute the last stage's assembled outputs across stages.
+
+    ``valid``: (n_micro, mb, ...) — correct data on stage S-1 only. One
+    ``all_to_all`` sends chunk j of the last stage's buffer to stage j
+    (every stage's garbage rides along but total traffic is ~= one copy of
+    the output, vs the old masked-psum broadcast which also left a FULL
+    copy resident on every stage). Each stage keeps the slice that
+    originated at stage S-1 — its own 1/S share, reassembled globally by
+    the caller's ``out_specs=P(axis, ...)``."""
+    n_micro = valid.shape[0]
+    assert n_micro % S == 0, (n_micro, S)
+    k = n_micro // S
+    buf = valid.reshape(S, k, *valid.shape[1:])
+    recv = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0,
+                              tiled=True)          # (S, k, ...) per stage
+    return recv[S - 1]                             # chunk from stage S-1
+
+
+def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: Array,
+                   mesh: Mesh, *, n_micro: Optional[int] = None,
                    axis: str = "pipe") -> Array:
-    """Apply ``L`` stacked layers as an ``S``-stage pipeline.
+    """Apply ``L`` stacked layers as an ``S``-stage GPipe pipeline.
 
     Args:
       layer_fn: pure per-layer function ``(params, x) -> x`` (same shapes
@@ -49,13 +112,15 @@ def pipeline_apply(layer_fn: Callable[[Any, Array], Array],
         ``S`` of the ``axis`` dimension of ``mesh``. Each stage runs the
         ``L // S`` consecutive layers it owns.
       x: global batch ``(B, ...)``; split into ``n_micro`` microbatches on
-        dim 0 (default: one microbatch per stage).
+        dim 0 (default: one per stage; ``n_micro = S*A`` gives an A-wide
+        gradient-accumulation window).
       mesh: mesh containing ``axis``.
 
     Returns the globally-assembled output batch ``(B, ...)``.
     """
     S = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
     n_micro = n_micro or S
+    assert n_micro % S == 0, (n_micro, S)
     B = x.shape[0]
     assert B % n_micro == 0, (B, n_micro)
     mb = B // n_micro
@@ -66,43 +131,199 @@ def pipeline_apply(layer_fn: Callable[[Any, Array], Array],
         lambda l: P(*((axis,) + (None,) * (l.ndim - 1))), stacked_params)
 
     def staged(local_params, micro_local):
-        # local_params leaves: (K, ...) — this stage's layers
-        # micro_local: (n_micro, mb, ...) — full microbatch queue
-        # (replicated over 'pipe')
         stage = jax.lax.axis_index(axis)
 
-        def run_stage(params, h):
-            def body(h, p):
-                return layer_fn(p, h), None
-            h, _ = jax.lax.scan(body, h, params)
+        def run_stage(h, m):
+            def body(hh, p):
+                return layer_fn(p, hh), None
+            h, _ = jax.lax.scan(body, h, local_params)
             return h
 
-        zero = jnp.zeros_like(micro_local[0])
-        n_ticks = n_micro + S - 1
-        perm = [(i, (i + 1) % S) for i in range(S)]
-
-        def tick(carry, t):
-            recv = carry
-            # stage 0 ingests microbatch t (zeros once drained)
-            feed = jnp.where(t < n_micro,
-                             micro_local[jnp.minimum(t, n_micro - 1)], zero)
-            h = jnp.where(stage == 0, feed, recv)
-            out = run_stage(local_params, h)
-            nxt = jax.lax.ppermute(out, axis, perm)
-            # the last stage emits microbatch t-(S-1) at tick t
-            return nxt, out
-
-        _, outs = jax.lax.scan(tick, zero, jnp.arange(n_ticks))
-        # outs: (n_ticks, mb, ...) as produced by THIS stage; only the last
-        # stage's outputs from tick S-1 onward are the pipeline's results.
-        # ppermute them from stage S-1 to stage 0..: simplest correct
-        # assembly — broadcast the last stage's slice to all stages via
-        # psum of a masked buffer (tiny vs activations; once per call).
-        valid = outs[S - 1:]                          # (n_micro, mb, ...)
-        is_last = (stage == S - 1).astype(valid.dtype)
-        assembled = jax.lax.psum(valid * is_last, axis)
-        return assembled.reshape(B, *x.shape[1:])
+        outs = _fill_drain(run_stage, micro_local, stage, S, n_micro, axis)
+        share = _scatter_from_last(outs[S - 1:], S, axis)  # (n_micro/S, ...)
+        return share
 
     pf = jax.shard_map(staged, mesh=mesh, in_specs=(param_specs, P()),
-                       out_specs=P(), check_vma=False)
-    return pf(stacked_params, micro)
+                       out_specs=P(axis), check_vma=False)
+    out = pf(stacked_params, micro)                # (n_micro, mb, ...)
+    return out.reshape(B, *x.shape[1:])
+
+
+def make_lm_pipeline_step(net, tx, mesh, *, n_micro: Optional[int] = None,
+                          label_smoothing: float = 0.0, train: bool = True,
+                          axis: str = "pipe",
+                          donate_state: bool = True) -> Callable:
+    """Pipeline-parallel train/valid step for the REAL LanguageModelNet.
+
+    Stage split (nn/lm.py structure, cited per piece):
+    - embedding (``EmbedPrenet``) + posenc + causal mask: computed
+      replicated on every stage (cheap; avoids an entry collective);
+    - the ``num_layers`` TransformerEncoder layers: stacked along a layer
+      axis and sharded over 'pipe' — the GPipe loop above;
+    - final LayerNorm + ``TokenPostnet`` + ``lm_loss``: computed from the
+      last stage's drained outputs; only the SCALAR loss/metrics cross
+      stages (masked psum over 'pipe'), never activations — the scalable
+      replacement for broadcasting logits.
+
+    The param tree is the UNMODIFIED LanguageModelNet tree (checkpoints,
+    optimizer state and the rest of the runner are oblivious to the
+    pipeline); layer subtrees are stacked/unstacked inside the jitted step,
+    which XLA folds into layout moves.
+
+    Supports a ('data', 'pipe') mesh: batch rows shard over 'data', the
+    schedule runs per data shard, metrics/grads reduce over both axes.
+    With ``n_micro = S * A`` the fill-drain window accumulates gradients
+    over A waves of microbatches (GPipe accumulation).
+
+    Numerics: identical to ``make_lm_step`` up to float-op reordering
+    (tests assert 1e-6 agreement with dropout disabled; with dropout on,
+    draws are folded per (microbatch, layer) — a different but valid
+    stream).
+    """
+    import flax.linen as nn
+
+    from speechain_tpu.models.lm import lm_loss
+    from speechain_tpu.nn.posenc import PositionalEncoding
+    from speechain_tpu.nn.postnets import TokenPostnet
+    from speechain_tpu.nn.prenets import EmbedPrenet
+    from speechain_tpu.nn.transformer import (TransformerEncoder,
+                                              TransformerEncoderLayer)
+    from speechain_tpu.utils.masks import make_mask_from_len, subsequent_mask
+
+    c = net.cfg
+    enc_conf = dict(c.encoder)
+    enc_conf["uni_direction"] = True
+    e = TransformerEncoder(dtype=c.dtype, **enc_conf)  # field defaults only
+    embed = EmbedPrenet(vocab_size=c.vocab_size, dtype=c.dtype, **c.emb)
+    posenc = PositionalEncoding(
+        d_model=e.d_model, posenc_type=e.posenc_type,
+        emb_layernorm=e.emb_layernorm, emb_scale=e.emb_scale,
+        posenc_scale=e.posenc_scale, init_alpha=e.posenc_init_alpha,
+        dropout=e.posenc_dropout, max_len=e.posenc_maxlen)
+    layer = TransformerEncoderLayer(
+        d_model=e.d_model, num_heads=e.num_heads,
+        scale_dp_by_head=e.scale_dp_by_head, att_dropout=e.att_dropout,
+        fdfwd_dim=e.fdfwd_dim, fdfwd_type=e.fdfwd_type,
+        fdfwd_activation=e.fdfwd_activation, fdfwd_args=e.fdfwd_args,
+        fdfwd_dropout=e.fdfwd_dropout, res_dropout=e.res_dropout,
+        layernorm_first=e.layernorm_first, dtype=e.dtype)
+    final_ln = nn.LayerNorm(epsilon=1e-6)
+    postnet = TokenPostnet(vocab_size=c.vocab_size, dtype=c.dtype)
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    S = sizes[axis]
+    n_data = sizes.get("data", 1)
+    data_axis = "data" if "data" in mesh.axis_names and n_data > 1 else None
+    L = e.num_layers
+    assert L % S == 0, f"num_layers {L} not divisible by pipe={S}"
+    K = L // S
+    n_micro = n_micro or S
+    assert n_micro % S == 0, (n_micro, S)
+
+    import optax
+
+    from speechain_tpu.train.state import TrainState
+
+    def forward(params, text, text_len, key):
+        """Runs INSIDE shard_map on one (data-shard, stage) device."""
+        stage = jax.lax.axis_index(axis)
+        stacked = params["stacked"]               # leaves (K, ...) local
+        B, Lx = text.shape
+        assert B % n_micro == 0, (B, n_micro)
+        mb = B // n_micro
+
+        emb = embed.apply({"params": params["embedding"]}, text)
+        x = posenc.apply({"params": params.get("posenc", {})}, emb,
+                         train=train,
+                         rngs={"dropout": jax.random.fold_in(key, 2 ** 20)})
+        mask = make_mask_from_len(text_len, Lx) & subsequent_mask(Lx)
+        mask = jnp.broadcast_to(mask, (B, Lx, Lx))
+        micro = x.reshape(n_micro, mb, Lx, x.shape[-1])
+        micro_mask = mask.reshape(n_micro, mb, Lx, Lx)
+
+        def run_stage(h, m):
+            def body(hh, xs):
+                p_i, idx = xs
+                # rng folded by (microbatch, global layer) — independent of
+                # the pipeline schedule, so draws don't depend on S
+                k_i = jax.random.fold_in(jax.random.fold_in(key, m),
+                                         stage * K + idx)
+                out, _ = layer.apply({"params": p_i}, hh, micro_mask[m],
+                                     train=train, return_attmat=False,
+                                     rngs={"dropout": k_i})
+                return out, None
+            h, _ = jax.lax.scan(body, h, (stacked, jnp.arange(K)))
+            return h
+
+        outs = _fill_drain(run_stage, micro, stage, S, n_micro, axis)
+        valid = outs[S - 1:]                      # (n_micro, mb, Lx, D)
+        h = valid.reshape(B, Lx, valid.shape[-1])
+        if e.layernorm_first:
+            h = final_ln.apply({"params": params["layernorm"]}, h)
+        logits = postnet.apply({"params": params["postnet"]}, h)
+        loss, metrics = lm_loss(logits, text, text_len,
+                                label_smoothing=label_smoothing)
+        # only the LAST stage holds real drained outputs: zero the others
+        # and reduce scalars over 'pipe' (activations never cross stages
+        # again — the scalable replacement for the old psum broadcast)
+        is_last = (stage == S - 1).astype(loss.dtype)
+        loss = jax.lax.psum(loss * is_last, axis)
+        metrics = {k: jax.lax.psum(v * is_last, axis)
+                   for k, v in metrics.items()}
+        if data_axis is not None:
+            metrics = {k: jax.lax.pmean(v, data_axis)
+                       for k, v in metrics.items()}
+        return loss, metrics
+
+    def regroup(params):
+        """LanguageModelNet tree -> pipeline layout (stack layer subtrees)."""
+        enc_p = params["encoder"]
+        out = {"embedding": params["embedding"],
+               "postnet": params["postnet"],
+               "stacked": stack_layer_params(
+                   [enc_p[f"layer_{i}"] for i in range(L)])}
+        if "layernorm" in enc_p:
+            out["layernorm"] = enc_p["layernorm"]
+        if "posenc" in enc_p:
+            out["posenc"] = enc_p["posenc"]
+        return out
+
+    # (gradients come back in the ORIGINAL LanguageModelNet layout because
+    # jax.grad differentiates through regroup's stacking)
+
+    # shard_map specs: stacked layer axis over 'pipe'; everything else
+    # replicated over 'pipe'; batch rows over 'data' when present
+    def param_specs_of(p):
+        return {
+            k: (jax.tree_util.tree_map(
+                lambda l: P(*((axis,) + (None,) * (l.ndim - 1))), v)
+                if k == "stacked"
+                else jax.tree_util.tree_map(lambda l: P(), v))
+            for k, v in p.items()}
+
+    bspec = P(data_axis) if data_axis else P()
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        text, text_len = batch["text"], batch["text_len"]
+
+        def loss_fn(params):
+            grouped = regroup(params)
+            smapped = jax.shard_map(
+                forward, mesh=mesh,
+                in_specs=(param_specs_of(grouped), bspec, bspec, P()),
+                out_specs=(P(), P()), check_vma=False)
+            loss, metrics = smapped(grouped, text, text_len, rng)
+            return loss, metrics
+
+        if train:
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(state.step + 1, params, new_opt,
+                               state.mutables)
+        else:
+            _, metrics = loss_fn(state.params)
+        return state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())

