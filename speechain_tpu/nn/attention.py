@@ -32,6 +32,33 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+def _flash_eligible(decode, cross_cache, cached_kv, return_attmat, mask,
+                    qh, kh) -> bool:
+    """Route through the fused Pallas kernel? Requires the plain training
+    self-attention shape (square, no KV cache), no attmat output, and a
+    key-style mask (None or (B, 1, Tk)); see ops/pallas_attention.py."""
+    from speechain_tpu.ops.pallas_attention import MAX_T, flash_enabled
+    if decode or cross_cache is not None or cached_kv is not None:
+        return False
+    if return_attmat:
+        return False
+    if qh.shape[2] != kh.shape[2] or qh.shape[2] > MAX_T:
+        return False
+    if mask is not None and mask.shape[1] != 1:
+        return False
+    return flash_enabled()
+
+
+def _flash_seed(module, rate: float) -> Array:
+    """(1,) int32 dropout seed drawn from the module's 'dropout' rng stream
+    (one threefry word; the bulk in-kernel bits come from the TPU PRNG)."""
+    if rate > 0.0:
+        key = module.make_rng("dropout")
+        return jax.random.randint(key, (1,), jnp.iinfo(jnp.int32).min,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    return jnp.zeros((1,), jnp.int32)
+
+
 class MultiHeadedAttention(nn.Module):
     """Standard MHA with the reference's scaling semantics.
 
@@ -69,6 +96,7 @@ class MultiHeadedAttention(nn.Module):
         cache_capacity: Optional[int] = None,
         prime: bool = False,
         return_attmat: bool = True,
+        causal: bool = False,
     ):
         """q (B, Tq, D); k/v (B, Tk, D); mask bool (B, 1|Tq, Tk).
 
@@ -84,6 +112,10 @@ class MultiHeadedAttention(nn.Module):
         cache_capacity: static KV-buffer length, used when allocating the
             cache variables (cache-priming pass with ``prime=True``).
         prime: allocate/initialize cache variables without advancing them.
+        causal: AND a subsequent mask into the scores. Callers that pass
+            a (B, 1, Tk) length mask + ``causal=True`` (instead of a
+            pre-materialized (B, Tq, Tk) combined mask) stay eligible for
+            the fused Pallas path below.
         """
         assert self.d_model % self.num_heads == 0
         dense = lambda name: nn.DenseGeneral(
@@ -101,6 +133,26 @@ class MultiHeadedAttention(nn.Module):
             if cross_cache == "write":
                 self.put_variable("cache", "cached_cross_key", kh)
                 self.put_variable("cache", "cached_cross_value", vh)
+
+        scale0 = (1.0 / math.sqrt(self.head_size) if self.scale_dp_by_head
+                  else 1.0 / math.sqrt(self.d_model))
+        if _flash_eligible(decode, cross_cache, cached_kv, return_attmat,
+                           mask, qh, kh):
+            # fused VMEM-resident attention (ops/pallas_attention.py):
+            # scores/softmax/dropout never touch HBM
+            from speechain_tpu.ops.pallas_attention import flash_attention
+            rate = self.dropout if train and self.dropout > 0.0 else 0.0
+            seed = _flash_seed(self, rate)
+            km = None if mask is None else mask[:, 0].astype(jnp.int32)
+            ctx = flash_attention(qh, kh, vh, seed, scale0, causal, rate,
+                                  km)
+            B, H, Tq, Dh = ctx.shape
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, H * Dh)
+            return dense("output_layer")(ctx), None
+        if causal:
+            from speechain_tpu.utils.masks import subsequent_mask
+            cm = subsequent_mask(qh.shape[2])
+            mask = cm if mask is None else (mask & cm)
 
         if decode:
             B = qh.shape[0]
@@ -215,6 +267,25 @@ class RelPosMultiHeadedAttention(nn.Module):
                             dtype=self.dtype, name="pos_layer")(posenc)
         ph = p.reshape(p.shape[0], p.shape[1], self.num_heads,
                        self.head_size).transpose(0, 2, 1, 3)  # (1,H,2T-1,Dh)
+
+        scale0 = (1.0 / math.sqrt(self.head_size) if self.scale_dp_by_head
+                  else 1.0 / math.sqrt(self.d_model))
+        if (_flash_eligible(False, None, None, return_attmat, mask, qh, kh)
+                and ph.shape[0] == 1
+                and ph.shape[2] == 2 * qh.shape[2] - 1):
+            # fused VMEM-resident rel-pos attention: the (T, 2T-1) band,
+            # rel_shift, softmax and dropout never touch HBM
+            from speechain_tpu.ops.pallas_attention import (
+                flash_relpos_attention)
+            rate = self.dropout if train and self.dropout > 0.0 else 0.0
+            seed = _flash_seed(self, rate)
+            km = None if mask is None else mask[:, 0].astype(jnp.int32)
+            ctx = flash_relpos_attention(
+                qh, kh, vh, ph[0], pos_bias_u.astype(jnp.float32),
+                pos_bias_v.astype(jnp.float32), seed, scale0, rate, km)
+            B, H, Tq, Dh = ctx.shape
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, H * Dh)
+            return dense("output_layer")(ctx), None
 
         q_u = qh + pos_bias_u[None, :, None, :].astype(qh.dtype)
         q_v = qh + pos_bias_v[None, :, None, :].astype(qh.dtype)

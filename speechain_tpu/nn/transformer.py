@@ -49,7 +49,7 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, src: Array, mask: Optional[Array], *,
                  train: bool = False, return_attmat: bool = True,
                  decode: bool = False, cache_capacity: Optional[int] = None,
-                 prime: bool = False):
+                 prime: bool = False, causal: bool = False):
         ln_att = nn.LayerNorm(epsilon=1e-6, name="att_layernorm")
         ln_ff = nn.LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
         drop = nn.Dropout(self.res_dropout, deterministic=not train)
@@ -60,7 +60,8 @@ class TransformerEncoderLayer(nn.Module):
             dropout=self.att_dropout, scale_dp_by_head=self.scale_dp_by_head,
             dtype=self.dtype, name="multihead_att",
         )(x, x, x, mask, train=train, return_attmat=return_attmat,
-          decode=decode, cache_capacity=cache_capacity, prime=prime)
+          decode=decode, cache_capacity=cache_capacity, prime=prime,
+          causal=causal)
         att_out = drop(att_hidden) + src
         if not self.layernorm_first:
             att_out = ln_att(att_out)
@@ -143,10 +144,12 @@ class TransformerEncoder(nn.Module):
                 pos_var.value = pos_var.value + src.shape[1]
         else:
             src = posenc(src, train=train)
-            if self.uni_direction:
-                L = src.shape[1]
-                causal = subsequent_mask(L)  # (1, L, L)
-                mask = causal if mask is None else (mask & causal)
+
+        # uni_direction: the causal constraint is passed as a FLAG (the
+        # attention module ANDs a subsequent mask in its XLA path) rather
+        # than materialized into (B, L, L) here — a (B, 1, L) length mask +
+        # flag keeps the layers eligible for the fused Pallas attention
+        causal = bool(self.uni_direction and not decode)
 
         attmats, hiddens = [], []
         for i in range(self.num_layers):
@@ -162,12 +165,17 @@ class TransformerEncoder(nn.Module):
                 name=f"layer_{i}",
             )(src, mask if not decode else None, train=train,
               return_attmat=return_attmat, decode=decode,
-              cache_capacity=cache_capacity, prime=prime)
+              cache_capacity=cache_capacity, prime=prime, causal=causal)
             if return_attmat:
                 attmats.append(attmat)
             if return_hidden:
                 hiddens.append(src)
 
+        if causal:
+            # callers receive the combined mask, as before
+            L = src.shape[1]
+            cm = subsequent_mask(L)  # (1, L, L)
+            mask = cm if mask is None else (mask & cm)
         if self.layernorm_first:
             src = nn.LayerNorm(epsilon=1e-6, name="layernorm")(src)
         return src, mask, attmats, hiddens
