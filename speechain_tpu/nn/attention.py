@@ -33,16 +33,17 @@ Array = jnp.ndarray
 
 
 def _flash_eligible(decode, cross_cache, cached_kv, return_attmat, mask,
-                    qh, kh) -> bool:
+                    q, k) -> bool:
     """Route through the fused Pallas kernel? Requires the plain training
     self-attention shape (square, no KV cache), no attmat output, and a
-    key-style mask (None or (B, 1, Tk)); see ops/pallas_attention.py."""
+    key-style mask (None or (B, 1, Tk)); see ops/pallas_attention.py.
+    ``q``/``k`` are the UNPROJECTED (B, T, D) module inputs."""
     from speechain_tpu.ops.pallas_attention import MAX_T, flash_enabled
     if decode or cross_cache is not None or cached_kv is not None:
         return False
     if return_attmat:
         return False
-    if qh.shape[2] != kh.shape[2] or qh.shape[2] > MAX_T:
+    if q.shape[1] != k.shape[1] or q.shape[1] > MAX_T:
         return False
     if mask is not None and mask.shape[1] != 1:
         return False
@@ -121,6 +122,26 @@ class MultiHeadedAttention(nn.Module):
         dense = lambda name: nn.DenseGeneral(
             features=self.d_model, dtype=self.dtype, name=name)
 
+        if _flash_eligible(decode, cross_cache, cached_kv, return_attmat,
+                           mask, q, k):
+            # fused VMEM-resident attention (ops/pallas_attention.py):
+            # scores/softmax/dropout never touch HBM, and the kernel
+            # consumes the natural (B, T, H, Dh) reshape of the projection
+            # outputs — no head transpose copies
+            from speechain_tpu.ops.pallas_attention import flash_attention
+            H, Dh = self.num_heads, self.head_size
+            qf = dense("q_layer")(q)                   # (B, T, D) — no
+            kf = dense("k_layer")(k)                   # head transpose;
+            vf = dense("v_layer")(v)                   # lanes ARE heads
+            scale0 = (1.0 / math.sqrt(Dh) if self.scale_dp_by_head
+                      else 1.0 / math.sqrt(self.d_model))
+            rate = self.dropout if train and self.dropout > 0.0 else 0.0
+            seed = _flash_seed(self, rate)
+            km = None if mask is None else mask[:, 0].astype(jnp.int32)
+            ctx = flash_attention(qf, kf, vf, seed, scale0, H, causal,
+                                  rate, km)
+            return dense("output_layer")(ctx), None
+
         qh = self._split(dense("q_layer")(q))
         if cross_cache == "read":
             kh = self.get_variable("cache", "cached_cross_key")
@@ -134,21 +155,6 @@ class MultiHeadedAttention(nn.Module):
                 self.put_variable("cache", "cached_cross_key", kh)
                 self.put_variable("cache", "cached_cross_value", vh)
 
-        scale0 = (1.0 / math.sqrt(self.head_size) if self.scale_dp_by_head
-                  else 1.0 / math.sqrt(self.d_model))
-        if _flash_eligible(decode, cross_cache, cached_kv, return_attmat,
-                           mask, qh, kh):
-            # fused VMEM-resident attention (ops/pallas_attention.py):
-            # scores/softmax/dropout never touch HBM
-            from speechain_tpu.ops.pallas_attention import flash_attention
-            rate = self.dropout if train and self.dropout > 0.0 else 0.0
-            seed = _flash_seed(self, rate)
-            km = None if mask is None else mask[:, 0].astype(jnp.int32)
-            ctx = flash_attention(qh, kh, vh, seed, scale0, causal, rate,
-                                  km)
-            B, H, Tq, Dh = ctx.shape
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, H * Dh)
-            return dense("output_layer")(ctx), None
         if causal:
             from speechain_tpu.utils.masks import subsequent_mask
             cm = subsequent_mask(qh.shape[2])
@@ -253,39 +259,48 @@ class RelPosMultiHeadedAttention(nn.Module):
             x.shape[0], x.shape[1], self.num_heads, self.head_size
         ).transpose(0, 2, 1, 3)
 
-        qh = split(dense("q_layer")(q))
-        kh = split(dense("k_layer")(k))
-        vh = split(dense("v_layer")(v))
-
         pos_bias_u = self.param(
             "pos_bias_u", nn.initializers.xavier_uniform(),
             (self.num_heads, self.head_size))
         pos_bias_v = self.param(
             "pos_bias_v", nn.initializers.xavier_uniform(),
             (self.num_heads, self.head_size))
-        p = nn.DenseGeneral(features=self.d_model, use_bias=False,
-                            dtype=self.dtype, name="pos_layer")(posenc)
-        ph = p.reshape(p.shape[0], p.shape[1], self.num_heads,
-                       self.head_size).transpose(0, 2, 1, 3)  # (1,H,2T-1,Dh)
-
-        scale0 = (1.0 / math.sqrt(self.head_size) if self.scale_dp_by_head
+        H, Dh = self.num_heads, self.head_size
+        scale0 = (1.0 / math.sqrt(Dh) if self.scale_dp_by_head
                   else 1.0 / math.sqrt(self.d_model))
-        if (_flash_eligible(False, None, None, return_attmat, mask, qh, kh)
-                and ph.shape[0] == 1
-                and ph.shape[2] == 2 * qh.shape[2] - 1):
+
+        if (_flash_eligible(False, None, None, return_attmat, mask, q, k)
+                and posenc.shape[0] == 1
+                and posenc.shape[1] == 2 * q.shape[1] - 1):
             # fused VMEM-resident rel-pos attention: the (T, 2T-1) band,
-            # rel_shift, softmax and dropout never touch HBM
+            # rel_shift, softmax and dropout never touch HBM; projections
+            # feed the kernel in their natural (B, T, H, Dh) reshape —
+            # no head transposes
             from speechain_tpu.ops.pallas_attention import (
                 flash_relpos_attention)
+            qf = dense("q_layer")(q)                   # (B, T, D) — no
+            kf = dense("k_layer")(k)                   # head transposes;
+            vf = dense("v_layer")(v)                   # lanes ARE heads
+            pf = nn.DenseGeneral(
+                features=self.d_model, use_bias=False, dtype=self.dtype,
+                name="pos_layer")(posenc)[0]           # (2T-1, D)
             rate = self.dropout if train and self.dropout > 0.0 else 0.0
             seed = _flash_seed(self, rate)
             km = None if mask is None else mask[:, 0].astype(jnp.int32)
             ctx = flash_relpos_attention(
-                qh, kh, vh, ph[0], pos_bias_u.astype(jnp.float32),
-                pos_bias_v.astype(jnp.float32), seed, scale0, rate, km)
-            B, H, Tq, Dh = ctx.shape
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, H * Dh)
+                qf, kf, vf, pf,
+                pos_bias_u.astype(jnp.float32).reshape(1, -1),
+                pos_bias_v.astype(jnp.float32).reshape(1, -1),
+                seed, scale0, H, rate, km)
             return dense("output_layer")(ctx), None
+
+        qh = split(dense("q_layer")(q))
+        kh = split(dense("k_layer")(k))
+        vh = split(dense("v_layer")(v))
+        p = nn.DenseGeneral(features=self.d_model, use_bias=False,
+                            dtype=self.dtype, name="pos_layer")(posenc)
+        ph = p.reshape(p.shape[0], p.shape[1], self.num_heads,
+                       self.head_size).transpose(0, 2, 1, 3)  # (1,H,2T-1,Dh)
 
         q_u = qh + pos_bias_u[None, :, None, :].astype(qh.dtype)
         q_v = qh + pos_bias_v[None, :, None, :].astype(qh.dtype)

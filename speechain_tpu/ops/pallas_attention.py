@@ -1,22 +1,29 @@
 """Fused (flash-style) attention Pallas kernels.
 
 Why: the benchmark decomposition (docs/BENCHMARKS.md) shows the conformer
-encoder at ~15 TFLOP/s effective on a link sustaining 73 — HBM-bound, and
-the biggest HBM sink in attention is the materialized ``(B, H, T, T)``
-fp32 score/softmax/dropout tensors: the XLA path writes and re-reads them
-several times per layer (mask-fill, softmax, dropout, AV einsum). At
-B=128, T=201 that is ~83 MB per round trip per layer, 12 layers, fwd+bwd.
+encoder HBM- and op-count-bound. The XLA attention path materializes the
+``(B, H, T, T)`` fp32 score/softmax/dropout tensors in HBM several times
+per layer, and a naive one-(batch,head)-per-grid-step fused kernel (our
+first cut) fixed the HBM traffic but turned out op-count bound instead:
+512 grid steps x 24 calls = ~12k tiny DMAs per train step, plus ~6k
+transpose copies feeding the (B, H, T, Dh) layout (profiled in
+probes/profile_step.py: 46 ms of kernel + 22 ms of copies at B=128).
 
-Design — *whole-sequence per (batch, head) grid step*, not KV-block
-streaming: speech encoders after 4x conv subsampling run at T ≈ 200-750,
-so the full (T, T) score matrix fits VMEM comfortably (T=512 → 1 MB
-fp32). Each grid step loads q/k/v (T, Dh), computes scores, mask,
-softmax (fp32), dropout (in-kernel TPU PRNG) and the AV matmul without
-touching HBM; only the (T, Dh) context goes back. This removes ALL
-(T, T) HBM traffic — the classic flash-attention goal — while keeping
-the kernel simple enough to verify exhaustively. Backward recomputes
-scores/softmax in-kernel (flash-style) and regenerates the identical
-dropout mask from the same per-(b,h) seed.
+Design (v2):
+
+- **Layout-native**: kernels consume q/k/v as ``(B, T, D)`` — the raw
+  projection outputs — and slice heads as pure LANE slices
+  (``[:, h*Dh:(h+1)*Dh]``) inside the kernel, so the head-split
+  TRANSPOSES (real HBM copies) disappear from the graph entirely and no
+  Mosaic-unsupported interior-unit-dim shape casts are needed. Outputs
+  come back as (B, T, D), exactly what the output projection consumes.
+- **Group-per-grid-step**: each grid step loads a block of ``G`` batch
+  rows with ALL heads (one ~2.5 MB DMA instead of 3 x G x H ~77 KB ones)
+  and computes the G*H (T, T) attention problems VMEM-resident:
+  scores, mask, fp32 softmax, dropout, AV — nothing (T, T) ever touches
+  HBM. Grid = B/G steps (16 at B=128), amortizing per-step overhead ~32x.
+- Backward recomputes scores/softmax in-kernel (flash-style) and
+  regenerates the identical dropout mask from the same per-(b,h) seed.
 
 Two variants, matching the two modules in ``nn/attention.py``:
 
@@ -79,6 +86,51 @@ def flash_enabled() -> bool:
     return not _interpret()
 
 
+def _pick_group(B: int, T: int, Dh: int) -> int:
+    """Batch rows per grid step: largest power of two <= 8 dividing B
+    (VMEM: 8 rows x 4 heads of (T, Dh) bf16 ~ 2.5 MB per operand)."""
+    for g in (8, 4, 2, 1):
+        if B % g == 0:
+            return g
+    return 1
+
+
+def _rel_shift_band(W: Array, T: int) -> Array:
+    """bd[i, j] = W[i, j - i + T - 1] for j < T (W: (T, 2T-1)).
+
+    On TPU this is ONE ``tpu.dynamic_rotate`` (per-row shift via
+    ``pltpu.roll(stride=1)``) on an (8, 128)-aligned zero-padded band —
+    measured ~5x faster than the log2(T) roll+select decomposition
+    (probes/kernel_bisect.py: fwd kernel 2.09 -> 1.13 ms/call). The pad
+    region is never read: j + T-1-i <= 2T-2 < P. Interpret mode keeps the
+    decomposition (the primitive has no CPU lowering)."""
+    if _interpret():
+        Wp = jnp.pad(W, ((0, 0), (0, 1)))
+        return _row_roll(Wp, lambda i: T - 1 - i, left=True)[:, :T]
+    P = -(-(2 * T + 8) // 128) * 128
+    Rp = -(-T // 8) * 8
+    # Mosaic's strided rotate needs the per-vreg shift window within 128
+    # lanes: keep the BASE shift a multiple of 8 (row offsets add 0..7)
+    # by placing W at column offset c
+    c = (P - T + 1) % 8
+    Wp = jnp.pad(W, ((0, Rp - T), (c, P - (2 * T - 1) - c)))
+    return pltpu.roll(Wp, P - T + 1 - c, 1, stride=1,
+                      stride_axis=0)[:T, :T]
+
+
+def _rel_unshift_band(ds: Array, T: int, L: int) -> Array:
+    """Transpose of :func:`_rel_shift_band`: dW[i, m] = ds[i, m - (T-1) + i]
+    (zero outside [0, T)); ds (T, T) -> (T, L). The decreasing per-row
+    shift is expressed with the non-negative stride P-1 == -1 (mod P)."""
+    # Mosaic's strided rotate supports only ascending per-row shift
+    # values (the literal shift is not reduced mod the width), so the
+    # unshift's DESCENDING rolls keep the log2(T) roll+select
+    # decomposition. (A rev-roll-rev form is mathematically exact but
+    # lax.rev sent the Mosaic compiler into a multi-10-minute compile.)
+    dsp = jnp.pad(ds, ((0, 0), (0, T - 1)))
+    return _row_roll(dsp, lambda r: T - 1 - r, left=False)[:, :L]
+
+
 def _row_roll(W: Array, amounts_from_row, left: bool) -> Array:
     """Roll each row i of ``W`` (R, L) circularly by ``amounts_from_row(i)``
     (static function of the row index), via log2 decomposition with STATIC
@@ -138,6 +190,15 @@ def _mask_scores(s, kmask, causal: bool, T: int):
     return s
 
 
+def _btd_spec(G, T, D):
+    """(B, T, D) arrays blocked G batch rows at a time."""
+    return pl.BlockSpec((G, T, D), lambda i: (i, 0, 0))
+
+
+def _gmask_spec(G, T):
+    return pl.BlockSpec((G, 1, T), lambda i: (i, 0, 0))
+
+
 # ===========================================================================
 # standard MHA
 # ===========================================================================
@@ -150,129 +211,139 @@ def _std_scores(q, k, kmask, scale, causal, T):
 
 
 def _std_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref, *,
-                    scale, causal, rate):
-    b, h = pl.program_id(0), pl.program_id(1)
-    H = pl.num_programs(1)
-    T = q_ref.shape[2]
-    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-    kmask = m_ref[0] if m_ref is not None else None
-    p = _softmax_fp32(_std_scores(q, k, kmask, scale, causal, T))
-    if rate > 0.0:
-        p = p * _dropout_mask(p.shape, rate, seed_ref[0] + b * H + h)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                    scale, causal, rate, G, H):
+    i = pl.program_id(0)
+    T, D = q_ref.shape[1], q_ref.shape[2]
+    Dh = D // H
+    for g in range(G):
+        kmask = m_ref[g] if m_ref is not None else None      # (1, T)
+        qg, kg, vg = q_ref[g], k_ref[g], v_ref[g]            # (T, D)
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)                 # lane slice
+            q, k, v = qg[:, sl], kg[:, sl], vg[:, sl]
+            p = _softmax_fp32(_std_scores(q, k, kmask, scale, causal, T))
+            if rate > 0.0:
+                p = p * _dropout_mask(
+                    p.shape, rate, seed_ref[0] + ((i * G + g) * H + h))
+            o_ref[g, :, sl] = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _std_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, g_ref,
-                    dq_ref, dk_ref, dv_ref, *, scale, causal, rate):
-    b, h = pl.program_id(0), pl.program_id(1)
-    H = pl.num_programs(1)
-    T = q_ref.shape[2]
-    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-    g = g_ref[0, 0].astype(jnp.float32)
-    kmask = m_ref[0] if m_ref is not None else None
-    p = _softmax_fp32(_std_scores(q, k, kmask, scale, causal, T))
-    if rate > 0.0:
-        dmask = _dropout_mask(p.shape, rate, seed_ref[0] + b * H + h)
-        pt = p * dmask
-    else:
-        dmask = None
-        pt = p
-    # dV = P~^T g ; dP~ = g V^T ; dP = dP~ * dmask ; dS = P*(dP - rowsum(dP*P))
-    dv = jax.lax.dot_general(pt, g, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dpt = jax.lax.dot_general(g, v.astype(jnp.float32),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dp = dpt * dmask if dmask is not None else dpt
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))    # (T, T)
-    dq = jax.lax.dot_general(ds, k.astype(jnp.float32),
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
-                             (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+                    dq_ref, dk_ref, dv_ref, *, scale, causal, rate, G, H):
+    i = pl.program_id(0)
+    T, D = q_ref.shape[1], q_ref.shape[2]
+    Dh = D // H
+    for g in range(G):
+        kmask = m_ref[g] if m_ref is not None else None
+        qg, kg, vg, gg = q_ref[g], k_ref[g], v_ref[g], g_ref[g]
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            q, k, v = qg[:, sl], kg[:, sl], vg[:, sl]
+            cd = q.dtype
+            go = gg[:, sl]                             # stay in cd
+            p = _softmax_fp32(_std_scores(q, k, kmask, scale, causal, T))
+            if rate > 0.0:
+                dmask = _dropout_mask(
+                    p.shape, rate, seed_ref[0] + ((i * G + g) * H + h))
+                pt = p * dmask
+            else:
+                dmask = None
+                pt = p
+            # dV = P~^T g ; dP~ = g V^T ; dP = dP~*mask ;
+            # dS = P*(dP - rowsum(dP*P)); matmuls in cd (fp32 accumulate)
+            dv = jax.lax.dot_general(pt.astype(cd), go,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dpt = jax.lax.dot_general(go, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dp = dpt * dmask if dmask is not None else dpt
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds_c = ds.astype(cd)
+            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32
+                                     ) * scale
+            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32
+                                     ) * scale
+            dq_ref[g, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[g, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[g, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _bhtd_spec(T, Dh):
-    return pl.BlockSpec((1, 1, T, Dh), lambda b, h: (b, h, 0, 0))
-
-
-def _kmask_spec(T):
-    return pl.BlockSpec((1, T), lambda b, h: (b, 0))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_attention(q: Array, k: Array, v: Array, seed: Array,
-                    scale: float, causal: bool = False,
-                    dropout_rate: float = 0.0,
+                    scale: float, num_heads: int = 1,
+                    causal: bool = False, dropout_rate: float = 0.0,
                     key_mask: Optional[Array] = None) -> Array:
-    """Fused MHA: softmax(mask(q k^T * scale)) v, per (batch, head) in VMEM.
+    """Fused MHA: softmax(mask(q k^T * scale)) v, VMEM-resident per group.
 
-    q/k/v: (B, H, T, Dh); key_mask: (B, T) int32 (1 = attendable) or None.
-    Returns (B, H, T, Dh) in q.dtype. ``seed`` — (1,) int32 array (may be
-    traced, e.g. folded from the step rng) keying in-kernel dropout; the
-    backward regenerates the identical mask from it.
+    q/k/v: **(B, T, D)** — the raw projection outputs; heads are LANE
+    slices of width D // num_heads inside the kernel (no transpose, no
+    reshape). key_mask: (B, T) int32 (1 = attendable) or None. Returns
+    (B, T, D) in q.dtype. ``seed`` — (1,) int32 array (may be traced,
+    e.g. folded from the step rng) keying in-kernel dropout; the backward
+    regenerates the identical mask from it.
     """
-    return _flash_fwd(q, k, v, seed, scale, causal, dropout_rate,
-                      key_mask)[0]
+    return _flash_fwd(q, k, v, seed, scale, num_heads, causal,
+                      dropout_rate, key_mask)[0]
 
 
-def _flash_fwd(q, k, v, seed, scale, causal, dropout_rate, key_mask):
-    B, H, T, Dh = q.shape
+def _flash_fwd(q, k, v, seed, scale, num_heads, causal, dropout_rate,
+               key_mask):
+    B, T, D = q.shape
+    G = _pick_group(B, T, D)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-             _bhtd_spec(T, Dh), _bhtd_spec(T, Dh), _bhtd_spec(T, Dh)]
+             _btd_spec(G, T, D), _btd_spec(G, T, D), _btd_spec(G, T, D)]
     args = [seed_arr, q, k, v]
+    kw = dict(scale=scale, causal=causal, rate=dropout_rate, G=G,
+              H=num_heads)
     if key_mask is not None:
-        specs.append(_kmask_spec(T))
-        args.append(key_mask.astype(jnp.int32))
-        kern = functools.partial(_std_fwd_kernel, scale=scale,
-                                 causal=causal, rate=dropout_rate)
+        specs.append(_gmask_spec(G, T))
+        args.append(key_mask.astype(jnp.int32)[:, None, :])
+        kern = functools.partial(_std_fwd_kernel, **kw)
     else:
         kern = functools.partial(
-            lambda s, qq, kk, vv, o_ref, **kw: _std_fwd_kernel(
-                s, qq, kk, vv, None, o_ref, **kw),
-            scale=scale, causal=causal, rate=dropout_rate)
+            lambda s, qq, kk, vv, o_ref, **kkw: _std_fwd_kernel(
+                s, qq, kk, vv, None, o_ref, **kkw), **kw)
     out = pl.pallas_call(
         kern,
-        grid=(B, H),
+        grid=(B // G,),
         in_specs=specs,
-        out_specs=_bhtd_spec(T, Dh),
-        out_shape=jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+        out_specs=_btd_spec(G, T, D),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
         interpret=_interpret(),
     )(*args)
     return out, (q, k, v, seed_arr, key_mask)
 
 
-def _flash_bwd(scale, causal, dropout_rate, res, g):
+def _flash_bwd(scale, num_heads, causal, dropout_rate, res, g):
     q, k, v, seed_arr, key_mask = res
-    B, H, T, Dh = q.shape
+    B, T, D = q.shape
+    G = _pick_group(B, T, D)
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-             _bhtd_spec(T, Dh), _bhtd_spec(T, Dh), _bhtd_spec(T, Dh)]
+             _btd_spec(G, T, D), _btd_spec(G, T, D), _btd_spec(G, T, D)]
     args = [seed_arr, q, k, v]
+    kw = dict(scale=scale, causal=causal, rate=dropout_rate, G=G,
+              H=num_heads)
     if key_mask is not None:
-        specs.append(_kmask_spec(T))
-        args.append(key_mask.astype(jnp.int32))
-        kern = functools.partial(_std_bwd_kernel, scale=scale,
-                                 causal=causal, rate=dropout_rate)
+        specs.append(_gmask_spec(G, T))
+        args.append(key_mask.astype(jnp.int32)[:, None, :])
+        kern = functools.partial(_std_bwd_kernel, **kw)
     else:
         kern = functools.partial(
-            lambda s, qq, kk, vv, gg, dq, dk, dv, **kw: _std_bwd_kernel(
-                s, qq, kk, vv, None, gg, dq, dk, dv, **kw),
-            scale=scale, causal=causal, rate=dropout_rate)
-    specs.append(_bhtd_spec(T, Dh))
+            lambda s, qq, kk, vv, gg, dq, dk, dv, **kkw: _std_bwd_kernel(
+                s, qq, kk, vv, None, gg, dq, dk, dv, **kkw), **kw)
+    specs.append(_btd_spec(G, T, D))
     args.append(g)
     dq, dk, dv = pl.pallas_call(
         kern,
-        grid=(B, H),
+        grid=(B // G,),
         in_specs=specs,
-        out_specs=[_bhtd_spec(T, Dh)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype)] * 3,
+        out_specs=[_btd_spec(G, T, D)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, T, D), q.dtype)] * 3,
         interpret=_interpret(),
     )(*args)
     return dq, dk, dv, None, None
@@ -286,192 +357,232 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # ===========================================================================
 #
 # scores = (q_u k^T + rel_shift(q_v ph^T)) * scale, where q_u = q + bias_u,
-# q_v = q + bias_v, ph: (H, 2T-1, Dh) positional projections and
+# q_v = q + bias_v, ph: (2T-1, D) positional projections (heads = lane
+# slices, like q/k/v) and
 # rel_shift extracts out[i, j] = W[i, j - i + T - 1] (nn/attention.py
 # rel_shift, reference conformer/attention.py:26-46). In-kernel the shift
 # is a per-row circular left-roll by (T-1-i) on the zero-padded (T, 2T)
 # band; its transpose (for the backward) is the right-roll.
 
 def _rel_scores(q, k, ph, bu, bv, kmask, scale, T):
-    qu = q.astype(jnp.float32) + bu
-    qv = q.astype(jnp.float32) + bv
-    ac = jax.lax.dot_general(qu.astype(q.dtype), k, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    W = jax.lax.dot_general(qv.astype(q.dtype), ph,
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (T, 2T-1)
-    Wp = jnp.pad(W, ((0, 0), (0, 1)))                  # (T, 2T) zero col
-    bd = _row_roll(Wp, lambda i: T - 1 - i, left=True)[:, :T]
+    """Scores with rank-1 bias rows: (q+bu) k^T = q k^T + (bu k^T),
+    (q+bv) ph^T likewise — the bias contributions are (1, T)/(1, L)
+    vector matmuls instead of materializing q_u/q_v."""
+    cd = q.dtype
+    buk = jax.lax.dot_general(bu.astype(cd), k, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (1, T)
+    bvp = jax.lax.dot_general(bv.astype(cd), ph.astype(cd),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (1, L)
+    ac = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) + buk
+    W = jax.lax.dot_general(q, ph.astype(cd), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bvp
+    bd = _rel_shift_band(W, T)
     s = (ac + bd) * scale
-    return _mask_scores(s, kmask, False, T), qu, qv
+    return _mask_scores(s, kmask, False, T)
 
 
 def _rel_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,
-                    m_ref, o_ref, *, scale, rate):
-    b, h = pl.program_id(0), pl.program_id(1)
-    H = pl.num_programs(1)
-    T = q_ref.shape[2]
-    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-    ph, bu, bv = ph_ref[0], bu_ref[0], bv_ref[0]
-    kmask = m_ref[0] if m_ref is not None else None
-    s, _, _ = _rel_scores(q, k, ph, bu, bv, kmask, scale, T)
-    p = _softmax_fp32(s)
-    if rate > 0.0:
-        p = p * _dropout_mask(p.shape, rate, seed_ref[0] + b * H + h)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                    m_ref, o_ref, *, scale, rate, G, H):
+    i = pl.program_id(0)
+    T, D = q_ref.shape[1], q_ref.shape[2]
+    Dh = D // H
+    for g in range(G):
+        kmask = m_ref[g] if m_ref is not None else None
+        qg, kg, vg = q_ref[g], k_ref[g], v_ref[g]            # (T, D)
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            q, k, v = qg[:, sl], kg[:, sl], vg[:, sl]
+            ph, bu, bv = ph_ref[:, sl], bu_ref[:, sl], bv_ref[:, sl]
+            s = _rel_scores(q, k, ph, bu, bv, kmask, scale, T)
+            p = _softmax_fp32(s)
+            if rate > 0.0:
+                p = p * _dropout_mask(
+                    p.shape, rate, seed_ref[0] + ((i * G + g) * H + h))
+            o_ref[g, :, sl] = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _rel_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,
                     m_ref, g_ref, dq_ref, dk_ref, dv_ref, dph_ref, dbu_ref,
-                    dbv_ref, *, scale, rate):
-    # grid (H, B) with batch FASTEST so the h-indexed outputs (dph, dbu,
-    # dbv) are revisited on consecutive steps and accumulate in VMEM
-    h, b = pl.program_id(0), pl.program_id(1)
-    H = pl.num_programs(0)
-    T = q_ref.shape[2]
-    L = ph_ref.shape[1]
-    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-    ph, bu, bv = ph_ref[0], bu_ref[0], bv_ref[0]
-    g = g_ref[0, 0].astype(jnp.float32)
-    kmask = m_ref[0] if m_ref is not None else None
-    s, qu, qv = _rel_scores(q, k, ph, bu, bv, kmask, scale, T)
-    p = _softmax_fp32(s)
-    if rate > 0.0:
-        dmask = _dropout_mask(p.shape, rate, seed_ref[0] + b * H + h)
-        pt = p * dmask
-    else:
-        dmask = None
-        pt = p
-    dv = jax.lax.dot_general(pt, g, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dpt = jax.lax.dot_general(g, v.astype(jnp.float32),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dp = dpt * dmask if dmask is not None else dpt
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-    # ac-path grads
-    dqu = jax.lax.dot_general(ds, k.astype(jnp.float32),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds, qu, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    # bd-path grads: dW = unshift(ds) — transpose of the forward roll
-    dsp = jnp.pad(ds, ((0, 0), (0, T - 1)))            # (T, 2T-1)
-    dW = _row_roll(dsp, lambda i: T - 1 - i, left=False)
-    dW = dW[:, :L]
-    dqv = jax.lax.dot_general(dW, ph.astype(jnp.float32),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dph = jax.lax.dot_general(dW, qv, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dq_ref[0, 0] = (dqu + dqv).astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
-    dbu = jnp.sum(dqu, axis=0, keepdims=True)          # (1, Dh)
-    dbv = jnp.sum(dqv, axis=0, keepdims=True)
+                    dbv_ref, *, scale, rate, G, H):
+    i = pl.program_id(0)
+    T, D = q_ref.shape[1], q_ref.shape[2]
+    Dh = D // H
+    L = ph_ref.shape[0]
+    for h in range(H):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        dph_acc = None
+        dbu_acc = None
+        dbv_acc = None
+        for g in range(G):
+            kmask = m_ref[g] if m_ref is not None else None
+            q = q_ref[g][:, sl]
+            k = k_ref[g][:, sl]
+            v = v_ref[g][:, sl]
+            ph, bu, bv = ph_ref[:, sl], bu_ref[:, sl], bv_ref[:, sl]
+            cd = q.dtype
+            go = g_ref[g][:, sl]                       # stay in cd
+            s = _rel_scores(q, k, ph, bu, bv, kmask, scale, T)
+            p = _softmax_fp32(s)
+            if rate > 0.0:
+                dmask = _dropout_mask(
+                    p.shape, rate, seed_ref[0] + ((i * G + g) * H + h))
+                pt = p * dmask
+            else:
+                dmask = None
+                pt = p
+            # matmuls run in the module compute dtype (bf16 on TPU) with
+            # fp32 accumulation; softmax derivative stays fp32
+            pt_c = pt.astype(cd)
+            dv = jax.lax.dot_general(pt_c, go, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dpt = jax.lax.dot_general(go, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dp = dpt * dmask if dmask is not None else dpt
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+            ds_c = ds.astype(cd)
+            # bd-path: dW = unshift(ds) — transpose of the forward roll
+            dW = _rel_unshift_band(ds, T, L)
+            dW_c = dW.astype(cd)
+            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                + jax.lax.dot_general(dW_c, ph.astype(cd),
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            qu = (q.astype(jnp.float32) + bu).astype(cd)
+            qv = (q.astype(jnp.float32) + bv).astype(cd)
+            dk = jax.lax.dot_general(ds_c, qu, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dph = jax.lax.dot_general(dW_c, qv, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dq_ref[g, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[g, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[g, :, sl] = dv.astype(dv_ref.dtype)
+            # dbu = rowsum(dqu) = (rowsum over queries of ds) k;
+            # dbv likewise via dW — rank-1, no dqu materialization
+            ds_rows = jnp.sum(ds, axis=0, keepdims=True)       # (1, T)
+            dW_rows = jnp.sum(dW, axis=0, keepdims=True)       # (1, L)
+            dbu = jax.lax.dot_general(ds_rows.astype(cd), k,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dbv = jax.lax.dot_general(dW_rows.astype(cd), ph.astype(cd),
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            del dmask
+            dph_acc = dph if dph_acc is None else dph_acc + dph
+            dbu_acc = dbu if dbu_acc is None else dbu_acc + dbu
+            dbv_acc = dbv if dbv_acc is None else dbv_acc + dbv
 
-    @pl.when(b == 0)
-    def _():
-        dph_ref[0] = dph.astype(dph_ref.dtype)
-        dbu_ref[...] = dbu.astype(dbu_ref.dtype)
-        dbv_ref[...] = dbv.astype(dbv_ref.dtype)
+        # accumulator outputs (lane-sliced per head) are revisited every
+        # grid step
+        @pl.when(i == 0)
+        def _(sl=sl, dph_acc=dph_acc, dbu_acc=dbu_acc, dbv_acc=dbv_acc):
+            dph_ref[:, sl] = dph_acc.astype(dph_ref.dtype)
+            dbu_ref[:, sl] = dbu_acc.astype(dbu_ref.dtype)
+            dbv_ref[:, sl] = dbv_acc.astype(dbv_ref.dtype)
 
-    @pl.when(b > 0)
-    def _():
-        dph_ref[0] = dph_ref[0] + dph.astype(dph_ref.dtype)
-        dbu_ref[...] = dbu_ref[...] + dbu.astype(dbu_ref.dtype)
-        dbv_ref[...] = dbv_ref[...] + dbv.astype(dbv_ref.dtype)
+        @pl.when(i > 0)
+        def _(sl=sl, dph_acc=dph_acc, dbu_acc=dbu_acc, dbv_acc=dbv_acc):
+            dph_ref[:, sl] = dph_ref[:, sl] + dph_acc.astype(dph_ref.dtype)
+            dbu_ref[:, sl] = dbu_ref[:, sl] + dbu_acc.astype(dbu_ref.dtype)
+            dbv_ref[:, sl] = dbv_ref[:, sl] + dbv_acc.astype(dbv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def flash_relpos_attention(q: Array, k: Array, v: Array, ph: Array,
                            bias_u: Array, bias_v: Array, seed: Array,
-                           scale: float, dropout_rate: float = 0.0,
+                           scale: float, num_heads: int = 1,
+                           dropout_rate: float = 0.0,
                            key_mask: Optional[Array] = None) -> Array:
     """Fused Transformer-XL rel-pos MHA (conformer encoder self-attention).
 
-    q/k/v: (B, H, T, Dh); ph: (H, 2T-1, Dh) projected positional
-    encodings; bias_u/bias_v: (H, Dh); seed: (1,) int32 (may be traced);
-    key_mask: (B, T) or None.
+    q/k/v: **(B, T, D)** raw projection outputs; ph: (2T-1, D) projected
+    positional encodings (pos_layer output, no head split); bias_u/bias_v:
+    (1, D) (the (H, Dh) params flattened); heads are lane slices of width
+    D // num_heads. seed: (1,) int32 (may be traced); key_mask: (B, T) or
+    None. Returns (B, T, D).
     """
-    return _rel_fwd(q, k, v, ph, bias_u, bias_v, seed, scale,
+    return _rel_fwd(q, k, v, ph, bias_u, bias_v, seed, scale, num_heads,
                     dropout_rate, key_mask)[0]
 
 
-def _rel_fwd(q, k, v, ph, bias_u, bias_v, seed, scale, dropout_rate,
-             key_mask):
-    B, H, T, Dh = q.shape
-    L = ph.shape[1]
+def _rel_fwd(q, k, v, ph, bias_u, bias_v, seed, scale, num_heads,
+             dropout_rate, key_mask):
+    B, T, D = q.shape
+    L = ph.shape[0]
+    G = _pick_group(B, T, D)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    ph_spec = pl.BlockSpec((1, L, Dh), lambda b, h: (h, 0, 0))
-    bias_spec = pl.BlockSpec((1, Dh), lambda b, h: (h, 0))
+    ph_spec = pl.BlockSpec((L, D), lambda i: (0, 0))
+    bias_spec = pl.BlockSpec((1, D), lambda i: (0, 0))
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-             _bhtd_spec(T, Dh), _bhtd_spec(T, Dh), _bhtd_spec(T, Dh),
+             _btd_spec(G, T, D), _btd_spec(G, T, D), _btd_spec(G, T, D),
              ph_spec, bias_spec, bias_spec]
     args = [seed_arr, q, k, v, ph.astype(q.dtype),
-            bias_u.astype(jnp.float32), bias_v.astype(jnp.float32)]
+            bias_u.astype(jnp.float32).reshape(1, D),
+            bias_v.astype(jnp.float32).reshape(1, D)]
+    kw = dict(scale=scale, rate=dropout_rate, G=G, H=num_heads)
     if key_mask is not None:
-        specs.append(_kmask_spec(T))
-        args.append(key_mask.astype(jnp.int32))
-        kern = functools.partial(_rel_fwd_kernel, scale=scale,
-                                 rate=dropout_rate)
+        specs.append(_gmask_spec(G, T))
+        args.append(key_mask.astype(jnp.int32)[:, None, :])
+        kern = functools.partial(_rel_fwd_kernel, **kw)
     else:
         kern = functools.partial(
-            lambda s, qq, kk, vv, pp, bu, bv, o_ref, **kw: _rel_fwd_kernel(
-                s, qq, kk, vv, pp, bu, bv, None, o_ref, **kw),
-            scale=scale, rate=dropout_rate)
+            lambda s, qq, kk, vv, pp, bu, bv, o_ref, **kkw: _rel_fwd_kernel(
+                s, qq, kk, vv, pp, bu, bv, None, o_ref, **kkw), **kw)
     out = pl.pallas_call(
         kern,
-        grid=(B, H),
+        grid=(B // G,),
         in_specs=specs,
-        out_specs=_bhtd_spec(T, Dh),
-        out_shape=jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+        out_specs=_btd_spec(G, T, D),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
         interpret=_interpret(),
     )(*args)
     return out, (q, k, v, ph, bias_u, bias_v, seed_arr, key_mask)
 
 
-def _rel_bwd(scale, dropout_rate, res, g):
+def _rel_bwd(scale, num_heads, dropout_rate, res, g):
     q, k, v, ph, bias_u, bias_v, seed_arr, key_mask = res
-    B, H, T, Dh = q.shape
-    L = ph.shape[1]
-    # (H, B) grid, batch fastest: h-indexed accumulator outputs
-    tdspec = pl.BlockSpec((1, 1, T, Dh), lambda h, b: (b, h, 0, 0))
-    ph_spec = pl.BlockSpec((1, L, Dh), lambda h, b: (h, 0, 0))
-    bias_spec = pl.BlockSpec((1, Dh), lambda h, b: (h, 0))
-    mask_spec = pl.BlockSpec((1, T), lambda h, b: (b, 0))
+    B, T, D = q.shape
+    L = ph.shape[0]
+    G = _pick_group(B, T, D)
+    ph_spec = pl.BlockSpec((L, D), lambda i: (0, 0))
+    bias_spec = pl.BlockSpec((1, D), lambda i: (0, 0))
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-             tdspec, tdspec, tdspec, ph_spec, bias_spec, bias_spec]
+             _btd_spec(G, T, D), _btd_spec(G, T, D), _btd_spec(G, T, D),
+             ph_spec, bias_spec, bias_spec]
     args = [seed_arr, q, k, v, ph.astype(q.dtype),
-            bias_u.astype(jnp.float32), bias_v.astype(jnp.float32)]
+            bias_u.astype(jnp.float32).reshape(1, D),
+            bias_v.astype(jnp.float32).reshape(1, D)]
+    kw = dict(scale=scale, rate=dropout_rate, G=G, H=num_heads)
     if key_mask is not None:
-        specs.append(mask_spec)
-        args.append(key_mask.astype(jnp.int32))
-        kern = functools.partial(_rel_bwd_kernel, scale=scale,
-                                 rate=dropout_rate)
+        specs.append(_gmask_spec(G, T))
+        args.append(key_mask.astype(jnp.int32)[:, None, :])
+        kern = functools.partial(_rel_bwd_kernel, **kw)
     else:
         kern = functools.partial(
-            lambda s, qq, kk, vv, pp, bu, bv, gg, *outs, **kw:
+            lambda s, qq, kk, vv, pp, bu, bv, gg, *outs, **kkw:
             _rel_bwd_kernel(s, qq, kk, vv, pp, bu, bv, None, gg, *outs,
-                            **kw),
-            scale=scale, rate=dropout_rate)
-    specs.append(tdspec)
+                            **kkw), **kw)
+    specs.append(_btd_spec(G, T, D))
     args.append(g)
     dq, dk, dv, dph, dbu, dbv = pl.pallas_call(
         kern,
-        grid=(H, B),
+        grid=(B // G,),
         in_specs=specs,
-        out_specs=[tdspec, tdspec, tdspec, ph_spec, bias_spec, bias_spec],
-        out_shape=[jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype)] * 3 + [
-            jax.ShapeDtypeStruct((H, L, Dh), jnp.float32),
-            jax.ShapeDtypeStruct((H, Dh), jnp.float32),
-            jax.ShapeDtypeStruct((H, Dh), jnp.float32),
+        out_specs=[_btd_spec(G, T, D)] * 3 + [ph_spec, bias_spec,
+                                              bias_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, T, D), q.dtype)] * 3 + [
+            jax.ShapeDtypeStruct((L, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
         interpret=_interpret(),
     )(*args)
-    return (dq, dk, dv, dph.astype(ph.dtype), dbu.astype(bias_u.dtype),
+    return (dq, dk, dv, dph.astype(ph.dtype),
+            dbu.astype(bias_u.dtype),
             dbv.astype(bias_v.dtype), None, None)
 
 
