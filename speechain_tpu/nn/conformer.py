@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from speechain_tpu.nn.norms import LayerNorm
 from speechain_tpu.nn.attention import RelPosMultiHeadedAttention
 from speechain_tpu.nn.feed_forward import PositionwiseFeedForward
 from speechain_tpu.nn.posenc import RelPositionalEncoding
@@ -114,10 +115,10 @@ class ConformerEncoderLayer(nn.Module):
             fdfwd_type=self.fdfwd_type, fdfwd_activation=self.fdfwd_activation,
             fdfwd_args=self.fdfwd_args, dropout=self.fdfwd_dropout,
             dtype=self.dtype, name=name)
-        ln_front = nn.LayerNorm(epsilon=1e-6, name="front_fdfwd_layernorm")
-        ln_mha = nn.LayerNorm(epsilon=1e-6, name="mha_layernorm")
-        ln_conv = nn.LayerNorm(epsilon=1e-6, name="conv_layernorm")
-        ln_rear = nn.LayerNorm(epsilon=1e-6, name="rear_fdfwd_layernorm")
+        ln_front = LayerNorm(epsilon=1e-6, name="front_fdfwd_layernorm")
+        ln_mha = LayerNorm(epsilon=1e-6, name="mha_layernorm")
+        ln_conv = LayerNorm(epsilon=1e-6, name="conv_layernorm")
+        ln_rear = LayerNorm(epsilon=1e-6, name="rear_fdfwd_layernorm")
 
         # front macaron FFN half
         x = ln_front(src) if self.layernorm_first else src
@@ -209,5 +210,5 @@ class ConformerEncoder(nn.Module):
                 hiddens.append(src)
 
         if self.layernorm_first:
-            src = nn.LayerNorm(epsilon=1e-6, name="layernorm")(src)
+            src = LayerNorm(epsilon=1e-6, name="layernorm")(src)
         return src, mask, attmats, hiddens

@@ -36,6 +36,34 @@ def get_activation(name: str):
     return ACTIVATIONS[name]
 
 
+def _ffn_fused_ok(x, d_model: int, fdfwd_dim: int) -> bool:
+    from speechain_tpu.ops.pallas_ffn import fused_ffn_enabled
+    if not fused_ffn_enabled():
+        return False
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    return (n % 8 == 0 and x.shape[-1] % 128 == 0 and
+            fdfwd_dim % 128 == 0 and d_model % 128 == 0)
+
+
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible {kernel, bias} params without running
+    the matmul — lets the fused-FFN kernel consume them directly while the
+    param tree stays byte-identical to the nn.Dense path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class PositionwiseFeedForward(nn.Module):
     d_model: int
     fdfwd_dim: int
@@ -49,6 +77,26 @@ class PositionwiseFeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         args = dict(self.fdfwd_args or {})
         act = get_activation(self.fdfwd_activation)
+        if self.fdfwd_type == "linear" and _ffn_fused_ok(
+                x, self.d_model, self.fdfwd_dim):
+            # one VMEM-resident pass: matmul + activation + dropout +
+            # matmul; the (N, fdfwd_dim) intermediate never touches HBM
+            # (ops/pallas_ffn.py)
+            from speechain_tpu.ops.pallas_ffn import fused_ffn
+            D = x.shape[-1]
+            k1, b1 = _DenseParams(D, self.fdfwd_dim, name="in_layer")()
+            k2, b2 = _DenseParams(self.fdfwd_dim, self.d_model,
+                                  name="out_layer")()
+            rate = self.dropout if train and self.dropout > 0.0 else 0.0
+            if rate > 0.0:
+                key = self.make_rng("dropout")
+                seed = jax.random.randint(
+                    key, (1,), jnp.iinfo(jnp.int32).min,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            return fused_ffn(x.astype(self.dtype), k1, b1, k2, b2, seed,
+                             self.fdfwd_activation, rate)
         if self.fdfwd_type == "linear":
             h = nn.Dense(self.fdfwd_dim, dtype=self.dtype, name="in_layer")(x)
         elif self.fdfwd_type == "conv":

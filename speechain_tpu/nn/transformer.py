@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from speechain_tpu.nn.norms import LayerNorm
 from speechain_tpu.nn.attention import MultiHeadedAttention
 from speechain_tpu.nn.feed_forward import PositionwiseFeedForward
 from speechain_tpu.nn.posenc import PositionalEncoding
@@ -50,8 +51,8 @@ class TransformerEncoderLayer(nn.Module):
                  train: bool = False, return_attmat: bool = True,
                  decode: bool = False, cache_capacity: Optional[int] = None,
                  prime: bool = False, causal: bool = False):
-        ln_att = nn.LayerNorm(epsilon=1e-6, name="att_layernorm")
-        ln_ff = nn.LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
+        ln_att = LayerNorm(epsilon=1e-6, name="att_layernorm")
+        ln_ff = LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
         drop = nn.Dropout(self.res_dropout, deterministic=not train)
 
         x = ln_att(src) if self.layernorm_first else src
@@ -177,7 +178,7 @@ class TransformerEncoder(nn.Module):
             cm = subsequent_mask(L)  # (1, L, L)
             mask = cm if mask is None else (mask & cm)
         if self.layernorm_first:
-            src = nn.LayerNorm(epsilon=1e-6, name="layernorm")(src)
+            src = LayerNorm(epsilon=1e-6, name="layernorm")(src)
         return src, mask, attmats, hiddens
 
 
@@ -203,9 +204,9 @@ class TransformerDecoderLayer(nn.Module):
                  train: bool = False, decode: bool = False,
                  cache_capacity: Optional[int] = None, prime: bool = False,
                  return_attmat: bool = True):
-        ln_self = nn.LayerNorm(epsilon=1e-6, name="self_att_layernorm")
-        ln_cross = nn.LayerNorm(epsilon=1e-6, name="cross_att_layernorm")
-        ln_ff = nn.LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
+        ln_self = LayerNorm(epsilon=1e-6, name="self_att_layernorm")
+        ln_cross = LayerNorm(epsilon=1e-6, name="cross_att_layernorm")
+        ln_ff = LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
         drop = nn.Dropout(self.res_dropout, deterministic=not train)
 
         x = ln_self(tgt) if self.layernorm_first else tgt
@@ -334,5 +335,5 @@ class TransformerDecoder(nn.Module):
                 hiddens.append(tgt)
 
         if self.layernorm_first:
-            tgt = nn.LayerNorm(epsilon=1e-6, name="layernorm")(tgt)
+            tgt = LayerNorm(epsilon=1e-6, name="layernorm")(tgt)
         return tgt, self_attmats, cross_attmats, hiddens

@@ -120,15 +120,33 @@ def _rel_shift_band(W: Array, T: int) -> Array:
 
 def _rel_unshift_band(ds: Array, T: int, L: int) -> Array:
     """Transpose of :func:`_rel_shift_band`: dW[i, m] = ds[i, m - (T-1) + i]
-    (zero outside [0, T)); ds (T, T) -> (T, L). The decreasing per-row
-    shift is expressed with the non-negative stride P-1 == -1 (mod P)."""
-    # Mosaic's strided rotate supports only ascending per-row shift
-    # values (the literal shift is not reduced mod the width), so the
-    # unshift's DESCENDING rolls keep the log2(T) roll+select
-    # decomposition. (A rev-roll-rev form is mathematically exact but
-    # lax.rev sent the Mosaic compiler into a multi-10-minute compile.)
-    dsp = jnp.pad(ds, ((0, 0), (0, T - 1)))
-    return _row_roll(dsp, lambda r: T - 1 - r, left=False)[:, :L]
+    (zero outside [0, T)); ds (T, T) -> (T, L).
+
+    The strided rotate only supports ASCENDING per-row shifts (the
+    literal shift value is not reduced modulo the width), so the
+    unshift's descending rolls are turned ascending by lane-reversing
+    both sides: rev(rot_asc(rev(dsp))). Lane reversal itself is done as
+    an MXU matmul against the anti-identity J (lax.rev sent the Mosaic
+    compiler into a multi-10-minute compile) — two (T, P) x (P, P)
+    matmuls are far cheaper than the log2(T) roll+select decomposition.
+    Exactness checked in numpy for T in {10, 128, 137, 200, 201}."""
+    if _interpret():
+        dsp = jnp.pad(ds, ((0, 0), (0, T - 1)))
+        return _row_roll(dsp, lambda r: T - 1 - r, left=False)[:, :L]
+    P = -(-(2 * T + 8) // 128) * 128
+    Rp = -(-T // 8) * 8
+    c = (P - T + 1) % 8
+    base = P - T + 1 - c
+    dsp = jnp.pad(ds, ((0, Rp - T), (0, P - T)))
+    ia = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    ib = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    J = (ia + ib == P - 1).astype(ds.dtype)            # anti-identity
+    rev = jax.lax.dot_general(dsp, J, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    rolled = pltpu.roll(rev, base, 1, stride=1, stride_axis=0)
+    out = jax.lax.dot_general(rolled, J, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out[:T, c:c + L]
 
 
 def _row_roll(W: Array, amounts_from_row, left: bool) -> Array:
@@ -445,7 +463,9 @@ def _rel_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
             ds_c = ds.astype(cd)
             # bd-path: dW = unshift(ds) — transpose of the forward roll
-            dW = _rel_unshift_band(ds, T, L)
+            # (input pre-cast to the compute dtype so the J-flip matmuls
+            # run on the bf16 MXU path in production)
+            dW = _rel_unshift_band(ds.astype(cd), T, L)
             dW_c = dW.astype(cd)
             dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32) \
