@@ -92,8 +92,11 @@ class HiFiGAN(nn.Module):
                                        self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU)
-            # torch ConvTranspose1d(stride=f, kernel=k, padding=(k-f)//2)
-            pad = (k - f) // 2
+            # torch ConvTranspose1d(stride=f, kernel=k, padding=p) yields
+            # (T-1)*f + k - 2p samples; flax explicit padding (a, b) yields
+            # (T-1)*f + k - 2(k-1) + a + b, so torch p maps to a = b =
+            # k - 1 - p (verified vs torch in tests/test_vocoder_golden.py)
+            pad = k - 1 - (k - f) // 2
             x = nn.ConvTranspose(ch, (k,), strides=(f,),
                                  padding=[(pad, pad)],
                                  transpose_kernel=True,
