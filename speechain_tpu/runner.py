@@ -103,6 +103,21 @@ def parse_args(argv=None):
                    help="host loader worker PROCESSES (collate included); "
                         "use on multi-core hosts where the GIL caps the "
                         "thread loader — counterproductive on 1-core hosts")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host launch: coordinator host:port for "
+                        "jax.distributed.initialize (the reference's "
+                        "multi-node branch is NotImplementedError, "
+                        "runner.py:1986; parallel/multihost.py)")
+    p.add_argument("--num_hosts", type=int, default=1,
+                   help="multi-host launch: total process count")
+    p.add_argument("--host_id", type=int, default=None,
+                   help="multi-host launch: this process's id (0-based); "
+                        "host 0 owns the canonical result dir")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force the jax platform (e.g. 'cpu' for the "
+                        "multi-process CPU smoke path; the image's "
+                        "sitecustomize overrides JAX_PLATFORMS, so an env "
+                        "var is not enough)")
     return p.parse_args(argv)
 
 
@@ -245,8 +260,12 @@ def expand_infer_cfg(infer_cfg) -> Dict[str, Dict]:
 
 def build_data(data_cfg: Dict, split: str, tokenizer, *, batch_bucket=8,
                time_bucket=None, token_bucket=16, num_workers=4,
-               num_worker_procs=0, spk2idx=None):
-    """data_cfg[split] -> EpochLoader or MultiLoader (runner.py:549-659)."""
+               num_worker_procs=0, spk2idx=None, dp_size=1, dp_rank=0):
+    """data_cfg[split] -> EpochLoader or MultiLoader (runner.py:549-659).
+
+    ``dp_size/dp_rank`` (multi-host launch) row-shard every batch over the
+    host processes via the iterator's data-parallel slicing
+    (iterator.py:93-113), so each host reads/decodes only its own rows."""
     from speechain_tpu.data.loader import (EpochLoader, MultiLoader,
                                            collate_speech_text)
     from speechain_tpu.utils.registry import resolve
@@ -258,6 +277,9 @@ def build_data(data_cfg: Dict, split: str, tokenizer, *, batch_bucket=8,
         it_cls = resolve("iterator." + spec_one["type"]
                          if "." not in spec_one["type"] else spec_one["type"])
         conf = dict(spec_one.get("conf", {}))
+        if dp_size > 1:
+            conf.setdefault("data_parallel_size", dp_size)
+            conf.setdefault("data_parallel_rank", dp_rank)
         it = it_cls(**conf)
         collate = partial(collate_speech_text, tokenizer=tokenizer,
                           time_bucket=tb, token_bucket=token_bucket,
@@ -322,9 +344,22 @@ def train_main(cfg: Dict, args):
     from speechain_tpu.train.optim import build_optimizers
     from speechain_tpu.train.state import init_train_state
 
-    result_path = cfg["result_path"]
+    from speechain_tpu.parallel import multihost
+    n_hosts, host_id = multihost.process_count(), multihost.process_index()
+    result_path = canonical_path = cfg["result_path"]
+    if n_hosts > 1 and host_id != 0:
+        # host 0 owns the canonical result dir; other hosts keep their
+        # logs/monitor artifacts under hosts/h<k> so file writes never
+        # collide. Checkpoints are NOT per-host: one cooperative orbax save
+        # into the canonical dir (shared fs / GCS on real pods) — see
+        # CheckpointManager's multi-host notes.
+        result_path = os.path.join(result_path, "hosts", f"h{host_id}")
     os.makedirs(result_path, exist_ok=True)
     logger = setup_logger(os.path.join(result_path, "train.log"))
+    if n_hosts > 1:
+        logger.info("multi-host: process %d/%d, %d local / %d global "
+                    "devices", host_id, n_hosts,
+                    len(jax.local_devices()), len(jax.devices()))
     seed = set_random_seeds(int(cfg["seed"]),
                             same_proc_seed=bool(
                                 getattr(args, "same_proc_seed", False)))
@@ -360,7 +395,8 @@ def train_main(cfg: Dict, args):
             time_bucket=args.time_bucket, token_bucket=args.token_bucket,
             num_workers=getattr(args, "num_workers", 4),
             num_worker_procs=getattr(args, "num_worker_procs", 0),
-            spk2idx=build_spk2idx(customize.get("spk_list")))
+            spk2idx=build_spk2idx(customize.get("spk_list")),
+            dp_size=n_hosts, dp_rank=host_id)
 
     # ---- model + optimizer + mesh --------------------------------------
     rng = jax.random.PRNGKey(seed)
@@ -474,7 +510,7 @@ def train_main(cfg: Dict, args):
         jtrain_multi = mk_multi(
             mk_step(net, net_cfg, tx, axis_name=axis, train=True), mesh)
 
-    ckpt = CheckpointManager(result_path)
+    ckpt = CheckpointManager(canonical_path)
     tracker = BestModelTracker(
         rules=[("loss", "min", cfg["best_model_num"])],
         last_n=cfg["last_model_num"],
@@ -492,15 +528,25 @@ def train_main(cfg: Dict, args):
                 tracker.load_state_dict(meta["tracker"])
         logger.info("resumed from epoch %d", start_epoch - 1)
 
+    if n_hosts > 1:
+        # identical host-local state/rng on every process (same seed or
+        # same restored checkpoint) -> replicated global arrays, so the
+        # jitted step sees one logical program over the global mesh
+        state = multihost.replicate(state, mesh)
+        rng = multihost.replicate(rng, mesh)
+
     def to_device_batch(b, _epoch=None):
         if multi_domain and all(isinstance(v, dict) for v in b.values()):
             return {name: to_device_batch(sub, _epoch)
                     for name, sub in b.items()}
-        out = {k: jnp.asarray(v) for k, v in b.items()
+        out = {k: v for k, v in b.items()
                if k in FAMILY_BATCH_KEYS[family] and v is not None}
         if _epoch is not None:
-            out["epoch"] = jnp.asarray(_epoch, jnp.int32)
-        return out
+            out["epoch"] = np.asarray(_epoch, np.int32)
+        if n_hosts > 1:
+            # per-host row slices -> one globally data-sharded batch
+            return multihost.global_batch(out, mesh)
+        return {k: jnp.asarray(v) for k, v in out.items()}
 
     # jax.profiler tracing window (the TPU replacement for the reference's
     # wall-clock-only measure_time tracing, monitor.py:126-148): skip the
@@ -508,13 +554,23 @@ def train_main(cfg: Dict, args):
     profile_steps = max(0, int(getattr(args, "profile_steps", 0) or 0))
     profile_warmup, profile_state, global_step = 3, "off", 0
 
+    spd_check = {"single": dict(time=0.0, steps=0, seen=0),
+                 "multi": dict(time=0.0, steps=0, seen=0), "warned": False}
     for epoch in range(start_epoch, cfg["num_epochs"] + 1):
         ep_rng = jax.random.fold_in(rng, epoch)
         t_ep = time.time()
         from speechain_tpu.data.loader import device_prefetch
-        train_iter = (loaders["train"].epoch(epoch) if args.dry_run else
-                      device_prefetch(loaders["train"].epoch(epoch),
-                                      lambda b: to_device_batch(b, epoch)))
+        if args.dry_run:
+            train_iter = loaders["train"].epoch(epoch)
+        elif n_hosts > 1:
+            # no prefetch thread: global_batch issues a tiny shape-consensus
+            # collective per batch, which must stay ordered with the step
+            # collectives across hosts
+            train_iter = (to_device_batch(b, epoch)
+                          for b in loaders["train"].epoch(epoch))
+        else:
+            train_iter = device_prefetch(loaders["train"].epoch(epoch),
+                                         lambda b: to_device_batch(b, epoch))
 
         def chunked(it):
             """Group consecutive SAME-SHAPE device batches into runs of up
@@ -544,6 +600,7 @@ def train_main(cfg: Dict, args):
                 yield pending
 
         for chunk in chunked(train_iter):
+            t_chunk = time.time()
             if profile_steps and profile_state == "off" \
                     and global_step >= profile_warmup:
                 jax.profiler.start_trace(
@@ -582,6 +639,34 @@ def train_main(cfg: Dict, args):
                     logger.exception("step skipped after exception")
                     continue
             global_step += len(chunk)
+            if spd > 1 and not args.dry_run and not args.no_optim:
+                # --steps_per_dispatch self-check (docs/BENCHMARKS.md
+                # "Scanned multi-step anomaly"): on some device links a
+                # Mosaic-kernel scan executes far slower than the same
+                # steps dispatched singly. Compare the two dispatch kinds'
+                # measured per-step wall time (monitor.train_step's host
+                # reads act as barriers) and warn once if scanning loses.
+                kind = ("multi" if len(chunk) == spd
+                        and jtrain_multi is not None else "single")
+                rec = spd_check[kind]
+                rec["seen"] += len(chunk)
+                if rec["seen"] > 40:            # skip the warm-up knee
+                    rec["time"] += time.time() - t_chunk
+                    rec["steps"] += len(chunk)
+                s, mlt = spd_check["single"], spd_check["multi"]
+                if (not spd_check["warned"] and s["steps"] >= 8
+                        and mlt["steps"] >= 2 * spd):
+                    per_s = s["time"] / s["steps"]
+                    per_m = mlt["time"] / mlt["steps"]
+                    if per_m > 1.5 * per_s:
+                        spd_check["warned"] = True
+                        logger.warning(
+                            "--steps_per_dispatch %d is SLOWER than single"
+                            "-step dispatch on this device link (%.0f vs "
+                            "%.0f ms/step); rerun with "
+                            "--steps_per_dispatch 1 (see docs/"
+                            "BENCHMARKS.md 'Scanned multi-step anomaly')",
+                            spd, per_m * 1e3, per_s * 1e3)
             if profile_state == "on" and global_step >= profile_end:
                 jax.block_until_ready(step_metrics[-1]["loss"])
                 jax.profiler.stop_trace()
@@ -605,6 +690,9 @@ def train_main(cfg: Dict, args):
             # attention-heatmap visualization snapshot every N epochs
             # (reference model.visualize branch, model/ar_asr.py:602-727)
             vis_every = int(cfg.get("visual_snapshot_interval", 5) or 0)
+            if n_hosts > 1:
+                vis_every = 0  # eager slicing of global arrays is not
+                # multi-controller-safe; snapshots are a single-host feature
             if family == "asr" and vis_every and epoch % vis_every == 0:
                 try:
                     vb = next(loaders["valid"].epoch(epoch))
@@ -655,12 +743,14 @@ def train_main(cfg: Dict, args):
             decision = tracker.update(epoch, valid_summary)
             ckpt.prune_epochs(decision["keep"])
             # best/latest registry (the reference's symlink farm,
-            # monitor.py:929-957, as a json index)
-            with open(os.path.join(ckpt.models_dir, "registry.json"),
-                      "w") as f:
-                json.dump(dict(best=decision["best"],
-                               keep=decision["keep"], latest=epoch,
-                               records=tracker.records), f, indent=1)
+            # monitor.py:929-957, as a json index); models_dir is shared
+            # in multi-host mode, so only the primary writes it
+            if host_id == 0:
+                with open(os.path.join(ckpt.models_dir, "registry.json"),
+                          "w") as f:
+                    json.dump(dict(best=decision["best"],
+                                   keep=decision["keep"], latest=epoch,
+                                   records=tracker.records), f, indent=1)
             ckpt.save_train_state(state, extra=dict(
                 epoch=epoch, monitor=monitor.state_dict(),
                 tracker=tracker.state_dict()))
@@ -1056,10 +1146,21 @@ def lm_test_main(cfg, args, net, tokenizer, variables, name, logger):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    if args.coordinator or args.num_hosts > 1:
+        assert args.coordinator and args.host_id is not None, \
+            "multi-host launch needs --coordinator AND --host_id"
+        from speechain_tpu.parallel import multihost
+        multihost.initialize(args.coordinator, args.num_hosts, args.host_id)
     cfg = merge_config(args)
     if args.train:
         train_main(cfg, args)
     if args.test:
+        from speechain_tpu.parallel import multihost
+        if multihost.process_count() > 1 and not multihost.is_primary():
+            return None  # decoding is single-host work; host 0 runs it
         return test_main(cfg, args)
 
 

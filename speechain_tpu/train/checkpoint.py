@@ -37,21 +37,42 @@ class CheckpointManager:
         os.makedirs(self.models_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
+    # Multi-host launch (parallel/multihost.py): ONE cooperative checkpoint
+    # in the canonical exp_dir (shared fs / GCS on real pods). Every process
+    # calls the orbax save (collective: process 0 writes the data since the
+    # state is replicated, the rest join its barriers); only the primary
+    # performs the surrounding non-collective fs mutations (tmp cleanup,
+    # atomic rename, meta/registry writes, pruning), bracketed by process
+    # barriers so non-primaries never read a half-committed checkpoint.
+    @staticmethod
+    def _is_primary() -> bool:
+        return jax.process_index() == 0
+
+    @staticmethod
+    def _sync(tag: str):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"ckpt_{tag}")
+
     # ---------------- full-state resume point ---------------------------
     def save_train_state(self, state, extra: Optional[Dict] = None):
         path = os.path.join(self.exp_dir, "checkpoint")
         tmp = path + ".tmp"
-        if os.path.exists(tmp):
+        if self._is_primary() and os.path.exists(tmp):
             shutil.rmtree(tmp)
+        self._sync("pre_state")
         self._ckptr.save(tmp, jax.device_get(state))
-        self._ckptr.wait_until_finished()
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
-        if extra is not None:
-            with open(os.path.join(self.exp_dir, "checkpoint_meta.json"),
-                      "w") as f:
-                json.dump(extra, f)
+        if hasattr(self._ckptr, 'wait_until_finished'):
+            self._ckptr.wait_until_finished()
+        if self._is_primary():
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+            if extra is not None:
+                with open(os.path.join(self.exp_dir,
+                                       "checkpoint_meta.json"), "w") as f:
+                    json.dump(extra, f)
+        self._sync("commit_state")
 
     def restore_train_state(self, template):
         path = os.path.join(self.exp_dir, "checkpoint")
@@ -73,13 +94,16 @@ class CheckpointManager:
     def save_epoch_model(self, epoch: int, params,
                          mutables: Optional[Dict] = None):
         path = os.path.join(self.models_dir, f"epoch_{epoch}")
-        if os.path.exists(path):
+        if self._is_primary() and os.path.exists(path):
             shutil.rmtree(path)
+        self._sync(f"pre_epoch{epoch}")
         payload = {"params": jax.device_get(params)}
         if mutables:
             payload.update(jax.device_get(mutables))
         self._ckptr.save(path, payload)
-        self._ckptr.wait_until_finished()
+        if hasattr(self._ckptr, 'wait_until_finished'):
+            self._ckptr.wait_until_finished()
+        self._sync(f"commit_epoch{epoch}")
 
     def restore_epoch_model(self, epoch: int, template):
         path = os.path.join(self.models_dir, f"epoch_{epoch}")
@@ -88,10 +112,12 @@ class CheckpointManager:
     def prune_epochs(self, keep: List[int]):
         """Delete epoch checkpoints not in ``keep`` (monitor.py:959-971)."""
         keep_set = {f"epoch_{e}" for e in keep}
-        for name in os.listdir(self.models_dir):
-            if name.startswith("epoch_") and name not in keep_set:
-                shutil.rmtree(os.path.join(self.models_dir, name),
-                              ignore_errors=True)
+        if self._is_primary():
+            for name in os.listdir(self.models_dir):
+                if name.startswith("epoch_") and name not in keep_set:
+                    shutil.rmtree(os.path.join(self.models_dir, name),
+                                  ignore_errors=True)
+        self._sync("prune")
 
     def average_models(self, epochs: List[int], template,
                        name: str = "average"):
@@ -113,10 +139,13 @@ class CheckpointManager:
             lambda a: (a / n).astype(np.float32), acc)
         path = os.path.join(self.models_dir,
                             f"{len(epochs)}_{name}")
-        if os.path.exists(path):
+        if self._is_primary() and os.path.exists(path):
             shutil.rmtree(path)
+        self._sync("pre_average")
         self._ckptr.save(path, {"params": avg})
-        self._ckptr.wait_until_finished()
+        if hasattr(self._ckptr, 'wait_until_finished'):
+            self._ckptr.wait_until_finished()
+        self._sync("commit_average")
         return avg
 
 
