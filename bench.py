@@ -179,6 +179,90 @@ def main():
     decode_utt_per_sec = DB / dec_dt / n_chips
     decode_rt_factor = DB * SECS / dec_dt / n_chips   # audio-seconds/second
 
+    # ---- anchored reference baselines for decode + TTS ------------------
+    # Method (same anchor as REF_FRAMES_PER_SEC, utils/flops.py docstring):
+    # the reference publishes wall-clock only for training, so its GPU's
+    # effective FLOP/s is anchored as 45k mel-frames/s x the train step's
+    # FLOPs/frame (fwd+bwd ~= 3x fwd, same architecture as ours), then
+    # divided into the FLOPs the reference ALGORITHM spends per utterance:
+    # its beam search re-forwards the full prefix per step with no KV cache
+    # (infer_func/beam_search.py:299-474). Assuming decode runs at training
+    # efficiency is GENEROUS to the reference (small-batch Python-loop
+    # decode utilizes a GPU far worse), so vs_baseline is a lower bound.
+    from speechain_tpu.utils import flops as fl
+    T_MEL = T // 160 + 1
+    T_ENC = (T_MEL + 3) // 4                  # two stride-2 subsamples
+    enc_fwd = (fl.conv2d_subsample_prenet(T_MEL, 80, [D, D])
+               + fl.conformer_encoder(T_ENC, 12, D, 4 * D))
+    dec_fwd = (fl.transformer_decoder(L, L, T_ENC, 6, D, 4 * D)
+               + fl.linear(L, D, V))
+    ref_eff_flops = REF_FRAMES_PER_SEC * 3.0 * (enc_fwd + dec_fwd) / T_MEL
+    L_DEC = max(int(T_ENC / 3.0), 2)          # = our forced full-length law
+    ref_decode_flops = enc_fwd + fl.ref_beam_search_decoder_flops(
+        L_DEC, T_ENC, 16, 6, D, 4 * D, V)
+    ref_decode_utt_per_sec = ref_eff_flops / ref_decode_flops
+    _progress(f'ref decode baseline: {ref_decode_utt_per_sec:.2f} utt/s '
+              f'({ref_eff_flops / 1e12:.2f} TFLOP/s anchor, '
+              f'{ref_decode_flops / 1e9:.0f} GFLOP/utt)')
+
+    # ---- TTS synthesis throughput: FastSpeech2 + HiFiGAN ----------------
+    # LJSpeech fastspeech2 recipe dims (recipes/tts/ljspeech/exp_cfg/
+    # fastspeech2.yaml: d=384, 4+4 layers, ff=1536) + HiFiGAN V1. Static
+    # full-capacity synthesis: F mel frames -> F*256 samples at 22.05 kHz,
+    # the compute is shape-static so audio-seconds = F * hop regardless of
+    # the predicted per-utterance lengths.
+    _progress('building TTS synth (FastSpeech2 + HiFiGAN)')
+    from speechain_tpu.models.nar_tts import (FastSpeech2Config,
+                                              FastSpeech2Net)
+    from speechain_tpu.nn.vocoder_hifigan import HiFiGAN
+    from speechain_tpu.ops.frontend import FrontendConfig as FCfg
+    TD, TV, TL, TF, TB = 384, 100, 100, 640, 16
+    tts_cfg = FastSpeech2Config(
+        vocab_size=TV,
+        frontend=FCfg(sr=22050, n_mels=80, win_length=0.05,
+                      hop_length=0.0125, fmin=125.0, fmax=7600.0,
+                      return_energy=True),
+        enc_emb=dict(embedding_dim=TD),
+        encoder=dict(d_model=TD, num_heads=4, num_layers=4,
+                     fdfwd_dim=4 * TD),
+        decoder=dict(d_model=TD, num_heads=4, num_layers=4,
+                     fdfwd_dim=4 * TD),
+        max_frame_len=TF, dtype=jnp.bfloat16)
+    tts_net = FastSpeech2Net(cfg=tts_cfg)
+    voc = HiFiGAN(in_channels=80)
+    tts_text = jax.random.randint(rng, (TB, TL), 2, TV).astype(jnp.int32)
+    tts_tlen = jnp.full((TB,), TL, jnp.int32)
+    tts_vars = jax.jit(lambda r, t, tl: tts_net.init(
+        {"params": r, "dropout": r}, t, tl, train=False))(
+        rng, tts_text, tts_tlen)
+    voc_vars = jax.jit(voc.init)(rng, jnp.zeros((1, 16, 80), jnp.float32))
+
+    @jax.jit
+    def synth(tv, vv, text, text_len):
+        out = tts_net.apply(tv, text, text_len, train=False, max_frames=TF)
+        wav = voc.apply(vv, out["pred_after"].astype(jnp.float32))
+        return wav.mean()                     # scalar barrier value
+
+    _progress('compiling TTS synth')
+    np.asarray(synth(tts_vars, voc_vars, tts_text, tts_tlen))
+    _progress('TTS synth compiled; timing')
+    n_tts, best_tts = 5, None
+    for trial in range(2):
+        t0 = time.perf_counter()
+        for r in range(n_tts):
+            np.asarray(synth(tts_vars, voc_vars,
+                             tts_text + (trial * n_tts + r) % 2, tts_tlen))
+        dt_t = time.perf_counter() - t0
+        best_tts = dt_t if best_tts is None else min(best_tts, dt_t)
+    tts_audio_secs = TB * TF * 0.0125         # 12.5 ms hop
+    tts_rt_factor = tts_audio_secs * n_tts / best_tts / n_chips
+    ref_tts_flops = (fl.fastspeech2_fwd_flops(TL, TF, TD, 4 * TD, 4, 4, 80)
+                     + fl.hifigan_fwd_flops(TF))
+    ref_tts_rt = ref_eff_flops / ref_tts_flops * TF * 0.0125
+    _progress(f'TTS: {tts_rt_factor:.0f}x realtime '
+              f'(ref baseline {ref_tts_rt:.0f}x, '
+              f'{ref_tts_flops / 1e9:.0f} GFLOP/utt)')
+
     _progress('done')
     print(json.dumps({
         "metric": "asr_train_melframes_per_sec_per_chip",
@@ -187,6 +271,10 @@ def main():
         "vs_baseline": round(frames_per_sec / REF_FRAMES_PER_SEC, 3),
         "decode_beam16_utt_per_sec_per_chip": round(decode_utt_per_sec, 2),
         "decode_beam16_realtime_factor_per_chip": round(decode_rt_factor, 1),
+        "decode_vs_baseline": round(
+            decode_utt_per_sec / ref_decode_utt_per_sec, 2),
+        "tts_synth_realtime_factor_per_chip": round(tts_rt_factor, 1),
+        "tts_vs_baseline": round(tts_rt_factor / ref_tts_rt, 2),
     }))
 
 
