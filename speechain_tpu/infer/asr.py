@@ -50,8 +50,14 @@ def asr_beam_search(
     sos_eos: Optional[int] = None,
     padding_idx: int = 0,
     max_len: Optional[int] = None,
+    group_ids: Optional[Array] = None,
 ) -> Dict[str, Array]:
-    """Full inference: encoder pass + batched beam search."""
+    """Full inference: encoder pass + batched beam search.
+
+    ``group_ids`` selects the per-group feature-normalization statistics
+    (speaker/domain) at test time, matching training-side group norm
+    (module/norm/feat_norm.py group granularity); unseen groups fall back
+    to the all-group average inside apply_feat_norm."""
     cfg = net.cfg
     V = cfg.vocab_size
     sos_eos = V - 1 if sos_eos is None else sos_eos
@@ -63,7 +69,7 @@ def asr_beam_search(
 
     # ---- encoder pass (runs once, full batch) --------------------------
     enc_feat, enc_feat_len, enc_mask, _ = net.apply(
-        base_vars, feat, feat_len, train=False,
+        base_vars, feat, feat_len, train=False, group_ids=group_ids,
         method=net.encode)
     T_enc = enc_feat.shape[1]
 
@@ -171,9 +177,9 @@ def make_asr_decoder(net, **decode_kwargs):
     import jax
 
     @jax.jit
-    def decode(variables, feat, feat_len):
+    def decode(variables, feat, feat_len, group_ids=None):
         return asr_beam_search(net, variables, feat, feat_len,
-                               **decode_kwargs)
+                               group_ids=group_ids, **decode_kwargs)
 
     return decode
 

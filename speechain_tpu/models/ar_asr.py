@@ -158,10 +158,12 @@ class ARASRNet(nn.Module):
 
     def encode(self, feat: Array, feat_len: Array, *, train: bool = False,
                epoch: Optional[Array] = None,
+               group_ids: Optional[Array] = None,
                axis_name: Optional[str] = None,
                return_attmat: bool = False):
         feat, feat_len = self.frontend_mod(feat, feat_len, train=train,
-                                           epoch=epoch, axis_name=axis_name)
+                                           epoch=epoch, group_ids=group_ids,
+                                           axis_name=axis_name)
         feat = feat.astype(self.cfg.dtype)
         feat, feat_len = self.enc_prenet(feat, feat_len, train=train)
         mask = make_mask_from_len(feat_len, feat.shape[1])
@@ -210,12 +212,13 @@ class ARASRNet(nn.Module):
     def __call__(self, feat: Array, feat_len: Array, text: Array,
                  text_len: Array, *, train: bool = False,
                  epoch: Optional[Array] = None,
+                 group_ids: Optional[Array] = None,
                  axis_name: Optional[str] = None,
                  return_att: bool = False) -> Dict[str, Array]:
         c = self.cfg
         enc_feat, enc_feat_len, enc_mask, enc_att = self.encode(
-            feat, feat_len, train=train, epoch=epoch, axis_name=axis_name,
-            return_attmat=return_att)
+            feat, feat_len, train=train, epoch=epoch, group_ids=group_ids,
+            axis_name=axis_name, return_attmat=return_att)
         logits, self_att, cross_att = self.decode(
             enc_feat, enc_mask, text, text_len, train=train,
             return_attmat=return_att or c.att_guid_sigma > 0.0)

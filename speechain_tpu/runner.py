@@ -154,7 +154,10 @@ def set_random_seeds(seed: int, same_proc_seed: bool = False) -> int:
 # model families share a train-loop skeleton but differ in init args,
 # batch keys and step factories
 FAMILY_BATCH_KEYS = {
-    "asr": ("feat", "feat_len", "text", "text_len"),
+    # spk_ids double as feat-norm group ids (group granularity,
+    # module/norm/feat_norm.py) when the dataset declares speakers
+    "asr": ("feat", "feat_len", "text", "text_len", "spk_ids",
+            "group_ids"),
     "lm": ("text", "text_len"),
     "artts": ("text", "text_len", "feat", "feat_len", "spk_feat"),
     "fastspeech2": ("text", "text_len", "feat", "feat_len", "pitch",
@@ -927,8 +930,18 @@ def test_main(cfg: Dict, args):
                                      jnp.asarray(batch["text"]),
                                      jnp.asarray(batch["text_len"]))
                 else:
-                    out = decode_fn(variables, jnp.asarray(batch["feat"]),
-                                    jnp.asarray(batch["feat_len"]))
+                    # speaker-declared sets select their group's feat-norm
+                    # stats at test time too (feat_norm.py group mode only;
+                    # under global norm speaker indices are NOT group ids)
+                    fn_cfg = getattr(net.cfg, "feat_norm", None)
+                    gid = (batch.get("spk_ids")
+                           if fn_cfg is not None
+                           and fn_cfg.norm_type == "group" else None)
+                    out = decode_fn(
+                        variables, jnp.asarray(batch["feat"]),
+                        jnp.asarray(batch["feat_len"]),
+                        group_ids=(None if gid is None
+                                   else jnp.asarray(gid)))
             except Exception:
                 # batch-level fault tolerance (runner.py:1521-1531)
                 if not getattr(args, "ignore_test_exception", False):

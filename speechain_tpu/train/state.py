@@ -63,6 +63,15 @@ def make_arasr_step(net, cfg, tx, *, axis_name: Optional[str] = "data",
         rng = jax.random.fold_in(rng, state.step)
         k_drop, k_spec = jax.random.split(rng)
         epoch = batch.get("epoch", jnp.zeros((), jnp.int32))
+        # speaker indices double as feat-norm group ids when the runner's
+        # dataset declares speakers — ONLY under group-mode norm (under
+        # global norm a speaker index >= num_groups would one-hot to an
+        # all-zero row and silently drop the utterance from the stats)
+        group_ids = batch.get("group_ids")
+        fn_cfg = getattr(cfg, "feat_norm", None)
+        if group_ids is None and fn_cfg is not None \
+                and fn_cfg.norm_type == "group":
+            group_ids = batch.get("spk_ids")
 
         def loss_fn(params):
             variables = {"params": params, **state.mutables}
@@ -72,6 +81,7 @@ def make_arasr_step(net, cfg, tx, *, axis_name: Optional[str] = "data",
                 variables, batch["feat"], batch["feat_len"],
                 batch["text"], batch["text_len"], train=train,
                 epoch=epoch, axis_name=axis_name,
+                group_ids=group_ids,
                 rngs={"dropout": k_drop, "specaug": k_spec},
                 mutable=mut + ["losses"])
             aux, new_mutables = _aux_from_losses(new_mutables)
