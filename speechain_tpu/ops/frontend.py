@@ -147,6 +147,19 @@ class FrontendConfig:
     mel_scale: str = "slaney"
     mel_norm: bool = True
 
+    def __post_init__(self):
+        # fmax above Nyquist leaves the top mel filters empty and the
+        # usable ones coarse — a silent quality killer when a config
+        # written for one sample rate (e.g. LJSpeech fmax=7600@22k) is
+        # reused at a lower sr. The reference inherits torchaudio's
+        # silence here; we warn.
+        if self.fmax is not None and self.fmax > self.sr / 2:
+            import warnings
+            warnings.warn(
+                f"frontend fmax={self.fmax} exceeds Nyquist ({self.sr / 2}):"
+                f" mel filters above Nyquist are empty; set fmax <= sr/2",
+                stacklevel=2)
+
     @property
     def hop(self) -> int:
         return int(self.hop_length * self.sr) if isinstance(self.hop_length, float) else int(self.hop_length)

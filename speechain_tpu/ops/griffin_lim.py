@@ -35,17 +35,57 @@ def mel_pinv(cfg: FrontendConfig) -> np.ndarray:
 
 
 def logmel_to_linear(logmel: Array, cfg: FrontendConfig,
-                     pinv: Optional[Array] = None) -> Array:
-    """Invert clamp->log->mel back to a linear power/mag spectrogram."""
-    if pinv is None:
-        pinv = jnp.asarray(mel_pinv(cfg))
+                     pinv: Optional[Array] = None,
+                     nnls_iters: int = 30) -> Array:
+    """Invert clamp->log->mel back to a linear power/mag spectrogram.
+
+    ``nnls_iters > 0`` (default) refines the inversion with multiplicative
+    nonnegative-least-squares updates (Lee-Seung with a fixed dictionary,
+    the same scheme behind librosa's ``mel_to_stft``). The reference stops
+    at the clamped least-squares pseudo-inverse (linear2mel.py:191-224),
+    whose minimum-norm solution smears each tone across its mel filter's
+    whole triangle support — measured on 220 Hz-spaced pure tones the
+    pinv+Griffin-Lim roundtrip renders 40+% of tokens as a neighboring
+    tone, while 30 NNLS steps recover them exactly. ``nnls_iters=0``
+    reproduces the reference's pinv behavior.
+    """
     mel = logmel
     if cfg.logging:
         base = cfg.log_base if cfg.log_base is not None else math.e
         mel = jnp.exp(mel * math.log(base))
-    linear = jnp.einsum("btm,mf->btf", mel, pinv,
-                        precision=jax.lax.Precision.HIGHEST)
-    return jnp.clip(linear, min=1e-10)
+    if nnls_iters <= 0:
+        if pinv is None:
+            pinv = jnp.asarray(mel_pinv(cfg))
+        linear = jnp.einsum("btm,mf->btf", mel, pinv,
+                            precision=jax.lax.Precision.HIGHEST)
+        return jnp.clip(linear, min=1e-10)
+    fb = jnp.asarray(mel_filterbank(            # (n_freqs, n_mels)
+        cfg.n_freqs, cfg.n_mels, cfg.sr, cfg.fmin, cfg.fmax,
+        cfg.mel_scale, cfg.mel_norm))
+    return _nnls_linear(mel, fb, nnls_iters)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _nnls_linear(mel: Array, fb: Array, n_iter: int) -> Array:
+    """min_{p>=0} ||p @ fb - mel||^2 by multiplicative updates.
+
+    p: (B, T, n_freqs), fb: (n_freqs, n_mels), mel nonnegative. The
+    transpose init is strictly positive wherever any mel bin is, so the
+    zero-locking property of multiplicative updates cannot kill bins the
+    solution needs.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    num = jnp.einsum("btm,fm->btf", mel, fb, precision=hp)
+    p = num / jnp.maximum(jnp.sum(fb * fb, axis=1), 1e-10)
+
+    def body(p, _):
+        den = jnp.einsum("btm,fm->btf",
+                         jnp.einsum("btf,fm->btm", p, fb, precision=hp),
+                         fb, precision=hp)
+        return p * num / jnp.maximum(den, 1e-12), None
+
+    p, _ = jax.lax.scan(body, p, None, length=n_iter)
+    return jnp.clip(p, min=1e-10)
 
 
 def _stft(frames_signal: Array, window: Array, n_fft: int, hop: int) -> Array:

@@ -194,3 +194,36 @@ def test_istft_is_exact_inverse():
     spec = G._stft(wave, window, cfg.fft, cfg.hop)
     rec = G._istft(spec, window, cfg.fft, cfg.hop, 8000)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(wave), atol=1e-5)
+
+
+def test_griffin_lim_tone_identity():
+    """The NNLS mel inversion must keep 220 Hz-spaced pure tones on
+    frequency through a full mel->wave roundtrip. The reference's
+    pinv-only inversion (linear2mel.py:191-224) smears each tone across
+    its mel filter's triangle and renders ~40% of tones as a neighboring
+    220 Hz step (measured on the chain-gate corpus); this test pins the
+    fix (ops/griffin_lim.py `_nnls_linear`)."""
+    cfg = FrontendConfig(sr=8000, n_mels=40, fmax=4000.0, win_length=0.02,
+                         hop_length=0.01)
+    sr = 8000
+    freqs = 350.0 + 220.0 * np.arange(8)
+    t = np.arange(1200) / sr
+    wave = np.concatenate(
+        [0.7 * np.sin(2 * np.pi * f * t) for f in freqs]
+    ).astype(np.float32)[None]
+    fe = LogMelFrontend(cfg)
+    mel, mel_len = fe(jnp.asarray(wave), jnp.array([wave.shape[1]]))
+    rec, rec_len = G.logmel_to_wave(mel, mel_len, cfg, n_iter=16)
+    rec = np.clip(np.asarray(rec[0]), -1.0, 1.0)
+    win, hop = 400, 80
+    hann = np.hanning(win)
+    seg = 1200  # samples per tone
+    ok = tot = 0
+    for i, f_true in enumerate(freqs):
+        # measure segment interiors (skip 1 window of boundary bleed)
+        for s in range(i * seg + win, (i + 1) * seg - win, hop):
+            fr = rec[s:s + win] * hann
+            f_peak = np.argmax(np.abs(np.fft.rfft(fr))) * sr / win
+            ok += int(np.argmin(np.abs(freqs - f_peak)) == i)
+            tot += 1
+    assert tot > 0 and ok / tot >= 0.95, f"tone identity {ok}/{tot}"
