@@ -203,7 +203,7 @@ class TransformerDecoderLayer(nn.Module):
                  tgt_mask: Optional[Array], src_mask: Optional[Array], *,
                  train: bool = False, decode: bool = False,
                  cache_capacity: Optional[int] = None, prime: bool = False,
-                 return_attmat: bool = True):
+                 return_attmat: bool = True, causal: bool = False):
         ln_self = LayerNorm(epsilon=1e-6, name="self_att_layernorm")
         ln_cross = LayerNorm(epsilon=1e-6, name="cross_att_layernorm")
         ln_ff = LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
@@ -216,7 +216,7 @@ class TransformerDecoderLayer(nn.Module):
             dtype=self.dtype, name="self_att",
         )(x, x, x, tgt_mask, train=train, decode=decode,
           cache_capacity=cache_capacity, prime=prime,
-          return_attmat=return_attmat)
+          return_attmat=return_attmat, causal=causal)
         self_out = drop(self_hidden) + tgt
         if not self.layernorm_first:
             self_out = ln_self(self_out)
@@ -309,9 +309,14 @@ class TransformerDecoder(nn.Module):
         else:
             tgt = posenc(tgt, train=train)
 
-        if not decode and tgt_mask is not None:
-            L = tgt.shape[1]
-            tgt_mask = tgt_mask & subsequent_mask(L)
+        # training: the causal constraint travels as a FLAG with the
+        # (B, 1, L) length mask instead of a pre-materialized
+        # (B, L, L) combined mask — the flag form keeps the self-attention
+        # eligible for the fused Pallas kernel (ops/pallas_attention.py,
+        # causal handled in-kernel); the XLA fallback ANDs the subsequent
+        # mask inside MultiHeadedAttention, so semantics are identical to
+        # the reference's combined mask (decoder.py:258-265)
+        causal = not decode
 
         self_attmats, cross_attmats, hiddens = [], [], []
         for i in range(self.num_layers):
@@ -327,7 +332,7 @@ class TransformerDecoder(nn.Module):
                 name=f"layer_{i}",
             )(tgt, enc_feat, tgt_mask, src_mask, train=train, decode=decode,
               cache_capacity=cache_capacity, prime=prime,
-              return_attmat=return_attmat)
+              return_attmat=return_attmat, causal=causal)
             if return_attmat:
                 self_attmats.append(sa)
                 cross_attmats.append(ca)
