@@ -106,9 +106,25 @@ def synthesize_main(argv=None):
                 idx2ref[idx] = ref
 
         if synth is None:
-            from speechain_tpu.infer.tts_decoding import make_tts_synthesizer
-            synth = make_tts_synthesizer(net, max_frames=args.max_frames,
-                                         rng=rng)
+            if "fastspeech" in mtype.lower() or "nar_tts" in mtype.lower():
+                # non-autoregressive path (the reference's chain supports
+                # FastSpeech2 synthesis too, tts_synthesize.sh:18): one
+                # jitted forward with predicted durations, no while_loop
+                import jax as _jax
+
+                @_jax.jit
+                def synth(variables, text, text_len, spk_feat=None):
+                    out = net.apply(variables, text, text_len,
+                                    spk_feat=spk_feat, train=False,
+                                    max_frames=args.max_frames,
+                                    rngs={"dropout": rng})
+                    return {"hypo_feat": out["pred_after"],
+                            "hypo_feat_len": out["pred_feat_len"]}
+            else:
+                from speechain_tpu.infer.tts_decoding import (
+                    make_tts_synthesizer)
+                synth = make_tts_synthesizer(net, max_frames=args.max_frames,
+                                             rng=rng)
         out = synth(variables, jnp.asarray(text), jnp.asarray(text_len),
                     spk_feat=spk_feat)
         feat = net.apply(variables, out["hypo_feat"], None,
