@@ -19,20 +19,57 @@ the reference's GPU recipe per chip.
 import json
 import os
 import sys
+import threading
 import time
 
 REF_FRAMES_PER_SEC = 45_000.0
 
 _T0 = time.perf_counter()
+_LAST_PROGRESS = [time.perf_counter()]
 
 
 def _progress(msg):
     # stderr only: stdout must stay a single JSON line for the driver
+    _LAST_PROGRESS[0] = time.perf_counter()
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
 
+def _start_watchdog():
+    """Emit an error JSON line and exit if the run wedges.
+
+    The device link dials a remote relay at ``import jax``; when the relay
+    is down the import (or any first compile) blocks forever, and the
+    driver would record NO bench line at all. Two trip-wires: no progress
+    for BENCH_IDLE_SECS (default 20 min — the longest legitimate silent
+    stretch is the first XLA compile at ~4-8 min), or total runtime past
+    BENCH_MAX_SECS (default 90 min)."""
+    idle_max = float(os.environ.get("BENCH_IDLE_SECS", "1200"))
+    hard_max = float(os.environ.get("BENCH_MAX_SECS", "5400"))
+
+    def watch():
+        while True:
+            time.sleep(30)
+            now = time.perf_counter()
+            idle, total = now - _LAST_PROGRESS[0], now - _T0
+            if idle > idle_max or total > hard_max:
+                why = (f"no progress for {idle:.0f}s"
+                       if idle > idle_max else f"runtime {total:.0f}s")
+                print(f"[bench] WATCHDOG: {why}; device link presumed "
+                      f"wedged — emitting error line", file=sys.stderr,
+                      flush=True)
+                print(json.dumps({
+                    "metric": "asr_train_melframes_per_sec_per_chip",
+                    "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+                    "error": f"watchdog: {why} (device link unreachable?)",
+                }), flush=True)
+                os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main():
+    _start_watchdog()
     import jax
     import jax.numpy as jnp
     import numpy as np
