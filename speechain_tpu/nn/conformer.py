@@ -66,6 +66,86 @@ class DepthwiseConv1d(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+def _convmod_fused_ok(x, channels: int) -> bool:
+    from speechain_tpu.ops.pallas_convmod import fused_convmod_enabled
+    return (fused_convmod_enabled() and x.ndim == 3 and
+            x.shape[-1] == channels and channels % 128 == 0)
+
+
+class _ConvPointwiseParams(nn.Module):
+    """nn.Conv-compatible {kernel (1, Cin, Cout), bias} params without the
+    conv — consumed directly by the fused conv-module kernel while the
+    param tree stays byte-identical to the nn.Conv path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _DWParams(nn.Module):
+    """DepthwiseConv1d-compatible {kernel (K, 1, C), bias} params."""
+
+    kernel_size: int
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel_size, 1, self.channels), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.channels,), jnp.float32)
+        return k, b
+
+
+class _BNApply(nn.Module):
+    """flax.linen.BatchNorm-compatible normalization from PRECOMPUTED batch
+    moments (the fused conv-module kernel accumulates sum/sum-of-squares
+    in-pass). Same param/batch_stats tree ({scale, bias} / {mean, var}),
+    same momentum-0.9 running update, same axis_name pmean sync of the
+    (mean, mean-of-squares) pair before the variance is formed."""
+
+    channels: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, u: Array, batch_mean: Array, batch_mean2: Array, *,
+                 train: bool = False) -> Array:
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.channels,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros,
+                                (self.channels,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", jnp.ones,
+                               (self.channels,), jnp.float32)
+        if train:
+            mean, mean2 = batch_mean, batch_mean2
+            if self.axis_name is not None and not self.is_initializing():
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = ((u.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon) * scale + bias)
+        return y.astype(self.dtype)
+
+
 class ConvolutionModule(nn.Module):
     channels: int
     depthwise_kernel_size: int = 31
@@ -75,15 +155,33 @@ class ConvolutionModule(nn.Module):
     @nn.compact
     def __call__(self, feat: Array, *, train: bool = False) -> Array:
         # (B, T, C); channels-last throughout (flax conv convention)
-        x = nn.Conv(2 * self.channels, kernel_size=(1,), padding="VALID",
-                    dtype=self.dtype, name="pointwise_conv1")(feat)
-        x = jax.nn.glu(x, axis=-1)
-        x = DepthwiseConv1d(channels=self.channels,
-                            kernel_size=self.depthwise_kernel_size,
-                            dtype=self.dtype, name="depthwise_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         axis_name=self.bn_axis_name, name="batch_norm")(x)
+        if _convmod_fused_ok(feat, self.channels):
+            # one VMEM-resident pass: pointwise matmul + GLU + depthwise
+            # + BatchNorm batch moments (ops/pallas_convmod.py); the
+            # (B, T, 2C) pointwise output never touches HBM
+            from speechain_tpu.ops.pallas_convmod import fused_conv_glu_dw
+            C, K = self.channels, self.depthwise_kernel_size
+            w1, b1 = _ConvPointwiseParams(C, 2 * C,
+                                          name="pointwise_conv1")()
+            dwk, dwb = _DWParams(K, C, name="depthwise_conv")()
+            u, s, ss = fused_conv_glu_dw(
+                feat.astype(self.dtype), w1[0], b1, dwk[:, 0, :], dwb, K)
+            n = feat.shape[0] * feat.shape[1]
+            x = _BNApply(channels=C, dtype=self.dtype,
+                         axis_name=self.bn_axis_name, name="batch_norm")(
+                u, s / n, ss / n, train=train)
+        else:
+            x = nn.Conv(2 * self.channels, kernel_size=(1,),
+                        padding="VALID", dtype=self.dtype,
+                        name="pointwise_conv1")(feat)
+            x = jax.nn.glu(x, axis=-1)
+            x = DepthwiseConv1d(channels=self.channels,
+                                kernel_size=self.depthwise_kernel_size,
+                                dtype=self.dtype, name="depthwise_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.bn_axis_name,
+                             name="batch_norm")(x)
         x = jax.nn.silu(x)
         x = nn.Conv(self.channels, kernel_size=(1,), padding="VALID",
                     dtype=self.dtype, name="pointwise_conv2")(x)
