@@ -12,15 +12,17 @@ same pass, so the depthwise output is read exactly once afterwards (by the
 normalize+swish+pointwise-conv2 XLA fusion) instead of twice (stats pass +
 normalize pass).
 
-The depthwise 'SAME' conv is computed as K static rolls + masks + fmas —
-the same Mosaic-friendly shift pattern as the rel-shift in
-ops/pallas_attention.py — because depthwise conv has no MXU-sized
-contraction (VPU work either way) and rolls avoid pad/concat shapes Mosaic
-dislikes. BatchNorm statistics are computed from the ROUNDED (output-dtype)
-depthwise values, matching what the XLA BatchNorm sees, and include padded
-frames inside [0, T) exactly like the reference's BatchNorm1d; only the
-sublane-alignment tail T..Tp (an artifact of this kernel, not of the batch)
-is excluded.
+Everything runs in 2-D ``(rows, C)`` layout — the (B, T, C) input is
+flattened outside the kernel (layout-preserving) and each grid step owns a
+whole number of batch rows. The depthwise 'SAME' conv is K static
+sublane ROLLS + masks + fmas (the Mosaic-proven shift pattern from
+ops/pallas_attention.py's rel-shift); a roll that crosses a batch-row
+boundary lands exactly where the within-utterance validity mask
+``0 <= (r mod Tp) + off < T`` is zero, so flattening is sound. BatchNorm
+statistics are computed from the ROUNDED (output-dtype) depthwise values,
+matching what the XLA BatchNorm sees, and include padded frames inside
+[0, T) exactly like the reference's BatchNorm1d; only the sublane-alignment
+tail T..Tp (an artifact of this kernel, not of the batch) is excluded.
 
 Backward recomputes the GLU input from x (one matmul — cheaper than the
 HBM round trips it replaces), re-reads the forward's depthwise output u for
@@ -36,7 +38,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (TPU lowering)
 
 Array = jnp.ndarray
 
@@ -64,47 +66,52 @@ def _pick_bb(B: int, Tp: int, C: int) -> int:
     return 1
 
 
-def _dw_shift_sum(src, weights, K: int, P: int, t_true: int, sign: int):
-    """``out[t] = sum_k w[k] * src[t + sign*(k - P)]`` with zero edges.
+def _tmod(rows: int, Tp: int):
+    """Within-utterance frame index of each flattened row: (rows, 1) i32."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    return r % Tp
+
+
+def _dw_shift_sum(src, tmod, weights, K: int, P: int, t_true: int,
+                  sign: int):
+    """``out[r] = sum_k w[k] * src[r + sign*(k - P)]`` on the flattened
+    (rows, C) layout, zero where the read leaves ``[0, t_true)`` within the
+    utterance (which also kills batch-boundary wrap-around rows).
 
     sign=+1 is the depthwise conv; sign=-1 the transposed (gradient) form.
-    Reads outside [0, t_true) contribute zero (src is only valid there).
     """
-    Tp = src.shape[1]
-    t = jax.lax.broadcasted_iota(jnp.int32, (1, Tp, 1), 1)
     out = None
     for k in range(K):
         off = sign * (k - P)
-        rolled = jnp.roll(src, -off, axis=1)        # rolled[t] = src[t+off]
-        valid = (t >= -off) & (t < t_true - off)
+        rolled = jnp.roll(src, -off, axis=0)       # rolled[r] = src[r+off]
+        valid = (tmod >= -off) & (tmod < t_true - off)
         term = jnp.where(valid, rolled, 0.0) * weights[k]
         out = term if out is None else out + term
     return out
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, dwb_ref,
-                u_ref, s_ref, ss_ref, *, K, P, t_true, C):
+                u_ref, s_ref, ss_ref, *, K, P, t_true, Tp, C):
     i = pl.program_id(0)
-    Bb, Tp, _ = x_ref.shape
-    x2 = x_ref[...].reshape(Bb * Tp, C)
+    x2 = x_ref[...]
+    rows = x2.shape[0]
+    tmod = _tmod(rows, Tp)
     z = jax.lax.dot_general(x2, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + \
         b1_ref[...].astype(jnp.float32)
     z = z.astype(x_ref.dtype).astype(jnp.float32)   # match XLA bf16 rounding
     a = z[:, :C] * jax.nn.sigmoid(z[:, C:])
-    a = a.reshape(Bb, Tp, C)
-    t = jax.lax.broadcasted_iota(jnp.int32, (1, Tp, 1), 1)
-    a = jnp.where(t < t_true, a, 0.0)
+    a = jnp.where(tmod < t_true, a, 0.0)
     dwk = dwk_ref[...].astype(jnp.float32)          # (Kp, C)
-    u = _dw_shift_sum(a, [dwk[k:k + 1, :] for k in range(K)], K, P,
+    u = _dw_shift_sum(a, tmod, [dwk[k:k + 1, :] for k in range(K)], K, P,
                       t_true, +1)
     u = u + dwb_ref[...].astype(jnp.float32)
     u_out = u.astype(u_ref.dtype)
     u_ref[...] = u_out
     uf = u_out.astype(jnp.float32)
-    uf = jnp.where(t < t_true, uf, 0.0)
-    s = jnp.sum(uf, axis=(0, 1), keepdims=True)[0]
-    ss = jnp.sum(uf * uf, axis=(0, 1), keepdims=True)[0]
+    uf = jnp.where(tmod < t_true, uf, 0.0)
+    s = jnp.sum(uf, axis=0, keepdims=True)
+    ss = jnp.sum(uf * uf, axis=0, keepdims=True)
 
     @pl.when(i == 0)
     def _():
@@ -119,21 +126,20 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, dwb_ref,
 
 def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
                 dss_ref, dx_ref, dw1_ref, db1_ref, ddwk_ref, ddwb_ref, *,
-                K, P, t_true, C):
+                K, P, t_true, Tp, C):
     i = pl.program_id(0)
-    Bb, Tp, _ = x_ref.shape
-    t = jax.lax.broadcasted_iota(jnp.int32, (1, Tp, 1), 1)
-    mask = t < t_true
+    x2 = x_ref[...]
+    rows = x2.shape[0]
+    tmod = _tmod(rows, Tp)
+    mask = tmod < t_true
 
     # recompute GLU input and output from x (flash-style remat)
-    x2 = x_ref[...].reshape(Bb * Tp, C)
     z = jax.lax.dot_general(x2, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + \
         b1_ref[...].astype(jnp.float32)
     z = z.astype(x_ref.dtype).astype(jnp.float32)
     ag, gate = z[:, :C], jax.nn.sigmoid(z[:, C:])
-    a = (ag * gate).reshape(Bb, Tp, C)
-    a = jnp.where(mask, a, 0.0)
+    a = jnp.where(mask, ag * gate, 0.0)
 
     # stats cotangents fold into the depthwise-output cotangent
     u = u_ref[...].astype(jnp.float32)
@@ -146,27 +152,26 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
 
     dwk = dwk_ref[...].astype(jnp.float32)
     # da[tau] = sum_k w[k] * du_tot[tau + P - k]  (transposed depthwise)
-    da = _dw_shift_sum(du_tot, [dwk[k:k + 1, :] for k in range(K)], K, P,
-                       t_true, -1)
+    da = _dw_shift_sum(du_tot, tmod, [dwk[k:k + 1, :] for k in range(K)],
+                       K, P, t_true, -1)
     da = jnp.where(mask, da, 0.0)
 
-    # ddwk[k] = sum_{b,t} a[t + k - P] * du_tot[t]
-    rows = []
+    # ddwk[k] = sum_{rows} a[r + k - P] * du_tot[r]
+    rows_out = []
     for k in range(K):
         off = k - P
-        rolled = jnp.roll(a, -off, axis=1)
-        valid = (t >= -off) & (t < t_true - off)
+        rolled = jnp.roll(a, -off, axis=0)
+        valid = (tmod >= -off) & (tmod < t_true - off)
         prod = jnp.where(valid, rolled, 0.0) * du_tot
-        rows.append(jnp.sum(prod, axis=(0, 1), keepdims=True)[0])
+        rows_out.append(jnp.sum(prod, axis=0, keepdims=True))
     Kp = dwk_ref.shape[0]
-    rows += [jnp.zeros_like(rows[0])] * (Kp - K)
-    ddwk = jnp.concatenate(rows, axis=0)
-    ddwb = jnp.sum(du_tot, axis=(0, 1), keepdims=True)[0]
+    rows_out += [jnp.zeros_like(rows_out[0])] * (Kp - K)
+    ddwk = jnp.concatenate(rows_out, axis=0)
+    ddwb = jnp.sum(du_tot, axis=0, keepdims=True)
 
     # GLU backward
-    da2 = da.reshape(Bb * Tp, C)
-    dag = da2 * gate
-    dgate = da2 * ag * gate * (1.0 - gate)
+    dag = da * gate
+    dgate = da * ag * gate * (1.0 - gate)
     dz = jnp.concatenate([dag, dgate], axis=1)
     cd = x_ref.dtype
     dz_c = dz.astype(cd)
@@ -175,7 +180,7 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
     db1 = jnp.sum(dz, axis=0, keepdims=True)
     dx = jax.lax.dot_general(dz_c, w1_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dx_ref[...] = dx.reshape(Bb, Tp, C).astype(dx_ref.dtype)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -192,8 +197,8 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
         ddwb_ref[...] = ddwb_ref[...] + ddwb
 
 
-def _specs(Bb, Tp, C, Kp):
-    blk = pl.BlockSpec((Bb, Tp, C), lambda i: (i, 0, 0))
+def _specs(R, C, Kp):
+    blk = pl.BlockSpec((R, C), lambda i: (i, 0))
     w1 = pl.BlockSpec((C, 2 * C), lambda i: (0, 0))
     v1 = pl.BlockSpec((1, 2 * C), lambda i: (0, 0))
     dwk = pl.BlockSpec((Kp, C), lambda i: (0, 0))
@@ -215,68 +220,68 @@ def fused_conv_glu_dw(x: Array, w1: Array, b1: Array, dwk: Array,
     return _fwd(x, w1, b1, dwk, dwb, K)[0]
 
 
-def _pad_t(x, mult: int):
-    T = x.shape[1]
+def _pad_flatten(x, mult: int):
+    """(B, T, C) -> (B*Tp, C) with the time axis zero-padded to a sublane
+    multiple; returns (flat, T, Tp)."""
+    B, T, C = x.shape
     Tp = -(-T // mult) * mult
-    if Tp == T:
-        return x, T
-    return jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))), T
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    return x.reshape(B * Tp, C), T, Tp
 
 
 def _fwd(x, w1, b1, dwk, dwb, K):
     B, T, C = x.shape
     P = (K - 1) // 2
     mult = 16 if x.dtype == jnp.bfloat16 else 8
-    xp, _ = _pad_t(x, mult)
-    Tp = xp.shape[1]
+    x2, _, Tp = _pad_flatten(x, mult)
     Kp = -(-K // 8) * 8
     dwk_p = jnp.pad(dwk.astype(jnp.float32), ((0, Kp - K), (0, 0)))
     Bb = _pick_bb(B, Tp, C)
-    blk, w1s, v1, dwks, vc = _specs(Bb, Tp, C, Kp)
+    blk, w1s, v1, dwks, vc = _specs(Bb * Tp, C, Kp)
     cd = x.dtype
     u, s, ss = pl.pallas_call(
-        functools.partial(_fwd_kernel, K=K, P=P, t_true=T, C=C),
+        functools.partial(_fwd_kernel, K=K, P=P, t_true=T, Tp=Tp, C=C),
         grid=(B // Bb,),
         in_specs=[blk, w1s, v1, dwks, vc],
         out_specs=[blk, vc, vc],
-        out_shape=[jax.ShapeDtypeStruct((B, Tp, C), cd),
+        out_shape=[jax.ShapeDtypeStruct((B * Tp, C), cd),
                    jax.ShapeDtypeStruct((1, C), jnp.float32),
                    jax.ShapeDtypeStruct((1, C), jnp.float32)],
         interpret=_interpret(),
-    )(xp, w1.astype(cd), b1.reshape(1, 2 * C).astype(cd), dwk_p,
+    )(x2, w1.astype(cd), b1.reshape(1, 2 * C).astype(cd), dwk_p,
       dwb.reshape(1, C).astype(cd))
-    out = (u[:, :T], s[0], ss[0])
-    return out, (xp, w1, b1, dwk, u)
+    out = (u.reshape(B, Tp, C)[:, :T], s[0], ss[0])
+    return out, (x2, w1, b1, dwk, u, B, T, Tp)
 
 
 def _bwd(K, res, g):
-    xp, w1, b1, dwk, u = res
+    x2, w1, b1, dwk, u, B, T, Tp = res
     du, ds, dss = g
-    B, Tp, C = xp.shape
-    T = du.shape[1]
+    C = x2.shape[1]
     P = (K - 1) // 2
     Kp = -(-K // 8) * 8
     dwk_p = jnp.pad(dwk.astype(jnp.float32), ((0, Kp - K), (0, 0)))
-    dup = jnp.pad(du, ((0, 0), (0, Tp - T), (0, 0)))
+    dup = jnp.pad(du, ((0, 0), (0, Tp - T), (0, 0))).reshape(B * Tp, C)
     Bb = _pick_bb(B, Tp, C)
-    blk, w1s, v1, dwks, vc = _specs(Bb, Tp, C, Kp)
-    cd = xp.dtype
+    blk, w1s, v1, dwks, vc = _specs(Bb * Tp, C, Kp)
+    cd = x2.dtype
     dx, dw1, db1, ddwk, ddwb = pl.pallas_call(
-        functools.partial(_bwd_kernel, K=K, P=P, t_true=T, C=C),
+        functools.partial(_bwd_kernel, K=K, P=P, t_true=T, Tp=Tp, C=C),
         grid=(B // Bb,),
         in_specs=[blk, w1s, v1, dwks, blk, blk, vc, vc],
         out_specs=[blk, w1s, v1, dwks, vc],
-        out_shape=[jax.ShapeDtypeStruct((B, Tp, C), cd),
+        out_shape=[jax.ShapeDtypeStruct((B * Tp, C), cd),
                    jax.ShapeDtypeStruct((C, 2 * C), jnp.float32),
                    jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
                    jax.ShapeDtypeStruct((Kp, C), jnp.float32),
                    jax.ShapeDtypeStruct((1, C), jnp.float32)],
         interpret=_interpret(),
-    )(xp, w1.astype(cd), b1.reshape(1, 2 * C).astype(cd), dwk_p, u,
+    )(x2, w1.astype(cd), b1.reshape(1, 2 * C).astype(cd), dwk_p, u,
       dup.astype(cd), ds.reshape(1, C), dss.reshape(1, C))
-    return (dx[:, :T].astype(xp.dtype), dw1.astype(w1.dtype),
-            db1[0].astype(b1.dtype), ddwk[:K].astype(dwk.dtype),
-            ddwb[0].astype(dwk.dtype))
+    return (dx.reshape(B, Tp, C)[:, :T].astype(jnp.result_type(cd)),
+            dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            ddwk[:K].astype(dwk.dtype), ddwb[0].astype(dwk.dtype))
 
 
 fused_conv_glu_dw.defvjp(_fwd, _bwd)
