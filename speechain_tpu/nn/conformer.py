@@ -218,9 +218,12 @@ class ConformerEncoderLayer(nn.Module):
         ln_conv = LayerNorm(epsilon=1e-6, name="conv_layernorm")
         ln_rear = LayerNorm(epsilon=1e-6, name="rear_fdfwd_layernorm")
 
-        # front macaron FFN half
+        # front macaron FFN half: 0.5 * drop(ffn(x)) + src
+        # (encoder.py:141-142) — residual folded into the fused kernel
         x = ln_front(src) if self.layernorm_first else src
-        x = 0.5 * drop(ffn("front_feed_forward")(x, train=train)) + src
+        x = ffn("front_feed_forward")(x, train=train, residual=src,
+                                      res_scale=0.5,
+                                      res_dropout=self.res_dropout)
         if not self.layernorm_first:
             x = ln_front(x)
 
@@ -247,7 +250,9 @@ class ConformerEncoderLayer(nn.Module):
 
         # rear macaron FFN half
         w = ln_rear(z) if self.layernorm_first else z
-        w = 0.5 * drop(ffn("rear_feed_forward")(w, train=train)) + z
+        w = ffn("rear_feed_forward")(w, train=train, residual=z,
+                                     res_scale=0.5,
+                                     res_dropout=self.res_dropout)
         if not self.layernorm_first:
             w = ln_rear(w)
         return w, attmat

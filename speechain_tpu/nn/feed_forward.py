@@ -74,7 +74,14 @@ class PositionwiseFeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 residual: jnp.ndarray = None, res_scale: float = 1.0,
+                 res_dropout: float = 0.0) -> jnp.ndarray:
+        """Optional fused residual epilogue: when ``residual`` is given the
+        module returns ``residual + res_scale * resdrop(ffn(x))`` — on the
+        pallas path this folds the add + residual dropout into the kernel
+        (XLA cannot epilogue-fuse a pallas output); on the XLA path the
+        semantics are identical (elementwise epilogue, XLA fuses it)."""
         args = dict(self.fdfwd_args or {})
         act = get_activation(self.fdfwd_activation)
         if self.fdfwd_type == "linear" and _ffn_fused_ok(
@@ -82,19 +89,30 @@ class PositionwiseFeedForward(nn.Module):
             # one VMEM-resident pass: matmul + activation + dropout +
             # matmul; the (N, fdfwd_dim) intermediate never touches HBM
             # (ops/pallas_ffn.py)
-            from speechain_tpu.ops.pallas_ffn import fused_ffn
+            from speechain_tpu.ops.pallas_ffn import (fused_ffn,
+                                                      fused_ffn_residual)
             D = x.shape[-1]
             k1, b1 = _DenseParams(D, self.fdfwd_dim, name="in_layer")()
             k2, b2 = _DenseParams(self.fdfwd_dim, self.d_model,
                                   name="out_layer")()
             rate = self.dropout if train and self.dropout > 0.0 else 0.0
-            if rate > 0.0:
-                key = self.make_rng("dropout")
-                seed = jax.random.randint(
-                    key, (1,), jnp.iinfo(jnp.int32).min,
-                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-            else:
-                seed = jnp.zeros((1,), jnp.int32)
+            rrate = res_dropout if train and res_dropout > 0.0 else 0.0
+
+            def draw_seed(need):
+                if not need:
+                    return jnp.zeros((1,), jnp.int32)
+                return jax.random.randint(
+                    self.make_rng("dropout"), (1,),
+                    jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32)
+
+            seed = draw_seed(rate > 0.0)
+            if residual is not None:
+                rseed = draw_seed(rrate > 0.0)
+                return fused_ffn_residual(
+                    x.astype(self.dtype), residual.astype(self.dtype),
+                    k1, b1, k2, b2, seed, rseed, self.fdfwd_activation,
+                    rate, rrate, res_scale)
             return fused_ffn(x.astype(self.dtype), k1, b1, k2, b2, seed,
                              self.fdfwd_activation, rate)
         if self.fdfwd_type == "linear":
@@ -114,4 +132,7 @@ class PositionwiseFeedForward(nn.Module):
             ks = int((self.fdfwd_args or {}).get("kernel_size", 3))
             out = nn.Conv(self.d_model, kernel_size=(ks,), padding="SAME",
                           dtype=self.dtype, name="out_layer")(h)
+        if residual is not None:
+            out = nn.Dropout(res_dropout, deterministic=not train)(out)
+            out = residual + res_scale * out
         return out

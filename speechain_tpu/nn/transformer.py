@@ -78,15 +78,18 @@ class TransformerEncoderLayer(nn.Module):
                 dropout=self.fdfwd_dropout, dtype=self.dtype,
                 name="feed_forward", **(self.fdfwd_args or {}),
             )(y, train=train)
+            out = drop(ff_hidden) + att_out
         else:
-            ff_hidden = PositionwiseFeedForward(
+            # residual + res-dropout fold into the fused FFN kernel's
+            # epilogue on TPU (ops/pallas_ffn.py::fused_ffn_residual)
+            out = PositionwiseFeedForward(
                 d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
                 fdfwd_type=self.fdfwd_type,
                 fdfwd_activation=self.fdfwd_activation,
                 fdfwd_args=self.fdfwd_args, dropout=self.fdfwd_dropout,
                 dtype=self.dtype, name="feed_forward",
-            )(y, train=train)
-        out = drop(ff_hidden) + att_out
+            )(y, train=train, residual=att_out,
+              res_dropout=self.res_dropout)
         if not self.layernorm_first:
             out = ln_ff(out)
         return out, attmat
@@ -236,13 +239,12 @@ class TransformerDecoderLayer(nn.Module):
             cross_out = ln_cross(cross_out)
 
         z = ln_ff(cross_out) if self.layernorm_first else cross_out
-        ff_hidden = PositionwiseFeedForward(
+        out = PositionwiseFeedForward(
             d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
             fdfwd_type=self.fdfwd_type, fdfwd_activation=self.fdfwd_activation,
             fdfwd_args=self.fdfwd_args, dropout=self.fdfwd_dropout,
             dtype=self.dtype, name="feed_forward",
-        )(z, train=train)
-        out = drop(ff_hidden) + cross_out
+        )(z, train=train, residual=cross_out, res_dropout=self.res_dropout)
         if not self.layernorm_first:
             out = ln_ff(out)
         return out, self_attmat, cross_attmat

@@ -55,8 +55,13 @@ def _pick_rows(N: int) -> int:
     return r if N % r == 0 else N
 
 
-def _fwd_kernel(seed_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref, o_ref, *,
-                act_name, rate):
+def _fwd_kernel(*refs, act_name, rate, res_rate=0.0, alpha=1.0,
+                has_res=False):
+    if has_res:
+        (seed_ref, rseed_ref, x_ref, res_ref, k1_ref, b1_ref, k2_ref,
+         b2_ref, o_ref) = refs
+    else:
+        seed_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref, o_ref = refs
     i = pl.program_id(0)
     act = get_activation(act_name)
     x = x_ref[...]
@@ -67,19 +72,38 @@ def _fwd_kernel(seed_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref, o_ref, *,
     if rate > 0.0:
         h = (h * _dropout_mask(h.shape, rate, seed_ref[0] + i)).astype(
             x.dtype)
-    o_ref[...] = (jax.lax.dot_general(
+    y = jax.lax.dot_general(
         h, k2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) +
-        b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+        preferred_element_type=jnp.float32) + \
+        b2_ref[...].astype(jnp.float32)
+    if has_res:
+        # residual epilogue: out = res + alpha * resdrop(y). Saves the
+        # separate elementwise pass XLA cannot fuse into a pallas output.
+        if res_rate > 0.0:
+            y = y * _dropout_mask(y.shape, res_rate, rseed_ref[0] + i)
+        y = res_ref[...].astype(jnp.float32) + alpha * y
+    o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, x_ref, k1_ref, b1_ref, k2_ref, g_ref,
-                dx_ref, dk1_ref, db1_ref, dk2_ref, db2_ref, *,
-                act_name, rate):
+def _bwd_kernel(*refs, act_name, rate, res_rate=0.0, alpha=1.0,
+                has_res=False):
+    if has_res:
+        (seed_ref, rseed_ref, x_ref, k1_ref, b1_ref, k2_ref, g_ref,
+         dx_ref, dk1_ref, db1_ref, dk2_ref, db2_ref) = refs
+    else:
+        (seed_ref, x_ref, k1_ref, b1_ref, k2_ref, g_ref,
+         dx_ref, dk1_ref, db1_ref, dk2_ref, db2_ref) = refs
     i = pl.program_id(0)
     act = get_activation(act_name)
     x = x_ref[...]
     g = g_ref[...].astype(jnp.float32)
+    if has_res:
+        # out = res + alpha * resdrop(y): dres = g (returned outside the
+        # kernel as the raw cotangent); the inner branch sees
+        # alpha * resmask * g
+        if res_rate > 0.0:
+            g = g * _dropout_mask(g.shape, res_rate, rseed_ref[0] + i)
+        g = alpha * g
     z = jax.lax.dot_general(x, k1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + \
         b1_ref[...].astype(jnp.float32)
@@ -193,3 +217,90 @@ def _ffn_bwd(act_name, rate, res, gout):
 
 
 fused_ffn.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_ffn_residual(x: Array, res: Array, k1: Array, b1: Array,
+                       k2: Array, b2: Array, seed: Array, res_seed: Array,
+                       act_name: str = "GELU", dropout_rate: float = 0.0,
+                       res_dropout_rate: float = 0.0,
+                       res_scale: float = 1.0) -> Array:
+    """``res + res_scale * resdrop(act(x k1 + b1) [drop] k2 + b2)`` with
+    both the FFN intermediate AND the residual epilogue VMEM-resident.
+
+    The residual add + residual dropout after a pallas FFN otherwise costs
+    a separate elementwise pass (XLA cannot epilogue-fuse into a pallas
+    output); this folds it into the same kernel. ``dres`` is an exact
+    pass-through of the output cotangent (no extra backward work)."""
+    return _ffn_res_fwd(x, res, k1, b1, k2, b2, seed, res_seed, act_name,
+                        dropout_rate, res_dropout_rate, res_scale)[0]
+
+
+def _ffn_res_fwd(x, res, k1, b1, k2, b2, seed, res_seed, act_name, rate,
+                 res_rate, alpha):
+    shape = x.shape
+    D, F = k1.shape
+    Do = k2.shape[1]
+    x2 = x.reshape(-1, D)
+    r2 = res.reshape(-1, Do)
+    N = x2.shape[0]
+    R = _pick_rows(N)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    rseed_arr = jnp.asarray(res_seed, jnp.int32).reshape(1)
+    cd = x.dtype
+    row_in = pl.BlockSpec((R, D), lambda i: (i, 0))
+    row_out = pl.BlockSpec((R, Do), lambda i: (i, 0))
+    w1 = pl.BlockSpec((D, F), lambda i: (0, 0))
+    w2 = pl.BlockSpec((F, Do), lambda i: (0, 0))
+    v1 = pl.BlockSpec((1, F), lambda i: (0, 0))
+    v2 = pl.BlockSpec((1, Do), lambda i: (0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, act_name=act_name, rate=rate,
+                          res_rate=res_rate, alpha=alpha, has_res=True),
+        grid=(N // R,),
+        in_specs=[smem, smem, row_in, row_out, w1, v1, w2, v2],
+        out_specs=row_out,
+        out_shape=jax.ShapeDtypeStruct((N, Do), x.dtype),
+        interpret=_interpret(),
+    )(seed_arr, rseed_arr, x2, r2, k1.astype(cd), b1.reshape(1, F),
+      k2.astype(cd), b2.reshape(1, Do))
+    return (out.reshape(*shape[:-1], Do),
+            (x2, k1, b1, k2, seed_arr, rseed_arr, shape))
+
+
+def _ffn_res_bwd(act_name, rate, res_rate, alpha, resids, gout):
+    x2, k1, b1, k2, seed_arr, rseed_arr, shape = resids
+    D, F = k1.shape
+    Do = k2.shape[1]
+    g2 = gout.reshape(-1, Do)
+    N = x2.shape[0]
+    R = _pick_rows(N)
+    cd = x2.dtype
+    row_in = pl.BlockSpec((R, D), lambda i: (i, 0))
+    row_out = pl.BlockSpec((R, Do), lambda i: (i, 0))
+    w1 = pl.BlockSpec((D, F), lambda i: (0, 0))
+    w2 = pl.BlockSpec((F, Do), lambda i: (0, 0))
+    v1 = pl.BlockSpec((1, F), lambda i: (0, 0))
+    v2 = pl.BlockSpec((1, Do), lambda i: (0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    dx, dk1, db1, dk2, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, act_name=act_name, rate=rate,
+                          res_rate=res_rate, alpha=alpha, has_res=True),
+        grid=(N // R,),
+        in_specs=[smem, smem, row_in, w1, v1, w2, row_out],
+        out_specs=[row_in, w1, v1, w2, v2],
+        out_shape=[jax.ShapeDtypeStruct((N, D), x2.dtype),
+                   jax.ShapeDtypeStruct((D, F), jnp.float32),
+                   jax.ShapeDtypeStruct((1, F), jnp.float32),
+                   jax.ShapeDtypeStruct((F, Do), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Do), jnp.float32)],
+        interpret=_interpret(),
+    )(seed_arr, rseed_arr, x2, k1.astype(cd), b1.reshape(1, F),
+      k2.astype(cd), g2)
+    return (dx.reshape(shape), gout, dk1.astype(k1.dtype),
+            db1[0].astype(b1.dtype), dk2.astype(k2.dtype),
+            db2[0].astype(b1.dtype), None, None)
+
+
+fused_ffn_residual.defvjp(_ffn_res_fwd, _ffn_res_bwd)

@@ -91,3 +91,77 @@ def test_ffn_module_fused_matches_dense(monkeypatch):
     out = ffn.apply(v_dense, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_ffn_residual_forward_and_grads():
+    from speechain_tpu.ops.pallas_ffn import fused_ffn_residual
+
+    x, k1, b1, k2, b2, g = _inputs()
+    res = jax.random.normal(jax.random.PRNGKey(9), x.shape)
+
+    out = fused_ffn_residual(x, res, k1, b1, k2, b2, SEED, SEED,
+                             "GELU", 0.0, 0.0, 0.5)
+    ref = res + 0.5 * _ref(x, k1, b1, k2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def lf(x, res, *args):
+        return jnp.sum(fused_ffn_residual(x, res, *args, SEED, SEED,
+                                          "GELU", 0.0, 0.0, 0.5) * g)
+
+    def lr(x, res, *args):
+        return jnp.sum((res + 0.5 * _ref(x, *args)) * g)
+
+    gf = jax.grad(lf, argnums=tuple(range(6)))(x, res, k1, b1, k2, b2)
+    gr = jax.grad(lr, argnums=tuple(range(6)))(x, res, k1, b1, k2, b2)
+    for name, a, b in zip("x,res,k1,b1,k2,b2".split(","), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4, err_msg=name)
+    # dres must be an exact pass-through of the output cotangent
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(g),
+                               atol=0, rtol=0)
+
+
+def test_fused_ffn_residual_dropout_contract():
+    from speechain_tpu.ops.pallas_ffn import fused_ffn_residual
+
+    x, k1, b1, k2, b2, g = _inputs()
+    res = jax.random.normal(jax.random.PRNGKey(9), x.shape)
+    s1, s2 = jnp.asarray([3], jnp.int32), jnp.asarray([11], jnp.int32)
+    a = fused_ffn_residual(x, res, k1, b1, k2, b2, s1, s2,
+                           "GELU", 0.0, 0.5, 1.0)
+    b = fused_ffn_residual(x, res, k1, b1, k2, b2, s1, s2,
+                           "GELU", 0.0, 0.5, 1.0)
+    # reproducible from the seed
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    c = fused_ffn_residual(x, res, k1, b1, k2, b2, s1,
+                           jnp.asarray([12], jnp.int32),
+                           "GELU", 0.0, 0.5, 1.0)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    # dropped positions revert to the residual value; kept are scaled 2x
+    ffn_part = np.asarray(a) - np.asarray(res)
+    ref_part = np.asarray(_ref(x, k1, b1, k2, b2))
+    kept = np.abs(ffn_part) > 1e-7
+    frac = kept.mean()
+    assert 0.3 < frac < 0.7, frac
+    np.testing.assert_allclose(ffn_part[kept], 2.0 * ref_part[kept],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_layer_residual_module_parity(monkeypatch):
+    """Whole encoder layer: fused-forced vs XLA path, train=False."""
+    from speechain_tpu.nn.transformer import TransformerEncoderLayer
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 128))
+    mod = TransformerEncoderLayer(d_model=128, num_heads=4,
+                                  fdfwd_dim=256, dtype=jnp.float32)
+    vs = mod.init({"params": jax.random.PRNGKey(1)}, x, None, train=False)
+
+    monkeypatch.setenv("SPEECHAIN_FORCE_FUSED_FFN", "1")
+    out_f, _ = mod.apply(vs, x, None, train=False)
+    monkeypatch.delenv("SPEECHAIN_FORCE_FUSED_FFN")
+    monkeypatch.setenv("SPEECHAIN_DISABLE_FUSED_FFN", "1")
+    out_x, _ = mod.apply(vs, x, None, train=False)
+    monkeypatch.delenv("SPEECHAIN_DISABLE_FUSED_FFN")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               atol=2e-5, rtol=2e-5)
