@@ -146,6 +146,12 @@ class FrontendConfig:
     log_base: Optional[float] = 10.0
     mel_scale: str = "slaney"
     mel_norm: bool = True
+    # MXU precision of the DFT/mel matmuls. "highest" = full f32-exact
+    # accumulation (BASELINE contract: log-Mel err < 1e-4 vs f64);
+    # "high" = 3-pass bf16 (~f32 effective, ~2x faster on TPU). Only
+    # change after validating against the f64 golden on real hardware
+    # (tests/test_frontend.py golden tolerances).
+    matmul_precision: str = "highest"
 
     def __post_init__(self):
         # fmax above Nyquist leaves the top mel filters empty and the
@@ -184,6 +190,13 @@ class FrontendConfig:
 # --------------------------------------------------------------------------
 # jit-friendly pipeline
 # --------------------------------------------------------------------------
+
+def _precision(cfg) -> jax.lax.Precision:
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[
+        getattr(cfg, "matmul_precision", "highest")]
+
 
 def _num_frames(wave_len, n_fft: int, hop: int, center: bool):
     eff = wave_len + (2 * (n_fft // 2) if center else 0)
@@ -248,7 +261,7 @@ def _frontend_impl(wave: jnp.ndarray, wave_len: jnp.ndarray,
         preferred_element_type=jnp.float32,
         # fp32-exact contract (BASELINE: log-Mel err < 1e-4): TPU MXU default
         # is bf16 passes for f32 inputs; force full-precision accumulation.
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision(cfg),
     )  # (B, 2*n_freq, T)
     re, im = spec[:, :n_freq, :], spec[:, n_freq:, :]
     power = (re * re + im * im).transpose(0, 2, 1)        # (B, T, n_freq)
@@ -271,7 +284,7 @@ def _frontend_impl(wave: jnp.ndarray, wave_len: jnp.ndarray,
     # 5. mel projection (constant matmul) + clamp + log
     feat = jnp.einsum("btf,fm->btm", power, mel_fb,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_precision(cfg))
     if cfg.logging:
         feat = jnp.log(jnp.clip(feat, min=cfg.clamp))
         if cfg.log_base is not None:
