@@ -99,12 +99,20 @@ def perplexity(logits: Array, text: Array, text_len: Array) -> Array:
 
 
 def ctc_loss(ctc_logits: Array, logit_len: Array, text: Array,
-             text_len: Array, *, blank_id: int = 0) -> Array:
+             text_len: Array, *, blank_id: int = 0,
+             zero_infinity: bool = True) -> Array:
     """CTC loss, blank=0 like the reference (criterion/ctc.py:6-68).
 
     text here must NOT contain sos/eos; reference strips them before the
     call (model/ar_asr.py:453-458 passes text[:, 1:-1]-style targets).
     Mean over batch of per-sentence CTC negative log-likelihood.
+
+    ``zero_infinity`` mirrors the reference default (criterion/ctc.py:9):
+    rows whose alignment is infeasible (logit_len < text_len + number of
+    adjacent label repeats) contribute 0 loss and 0 gradient instead of
+    torch's +inf — which under optax surfaces as ~|log_epsilon|≈1e5 per
+    row, large enough that one short utterance spikes the batch loss.
+    The zeroed rows stay in the denominator, matching torch semantics.
     """
     B, T, V = ctc_logits.shape
     logit_paddings = 1.0 - _len_mask(logit_len, T).astype(jnp.float32)
@@ -112,11 +120,22 @@ def ctc_loss(ctc_logits: Array, logit_len: Array, text: Array,
     per_seq = optax.ctc_loss(ctc_logits.astype(jnp.float32), logit_paddings,
                              text, label_paddings, blank_id=blank_id)
     valid = text_len > 0
+    if zero_infinity:
+        # adjacent equal labels force a blank between them; feasibility
+        # requires one frame per label plus one per forced blank
+        if text.shape[1] >= 2:
+            pair_ok = _len_mask(jnp.maximum(text_len - 1, 0),
+                                text.shape[1] - 1)
+            dups = jnp.sum((text[:, 1:] == text[:, :-1]) & pair_ok, axis=-1)
+        else:
+            dups = jnp.zeros_like(text_len)
+        feasible = logit_len >= text_len + dups
+        valid = valid & feasible & jnp.isfinite(per_seq)
     # where, not multiply: a NaN/inf per_seq on an invalid (zero-length
-    # padding) row must be dropped, and NaN * 0 is still NaN
+    # padding or infeasible) row must be dropped, and NaN * 0 is still NaN
     per_seq = jnp.where(valid, per_seq, 0.0)
-    validf = valid.astype(jnp.float32)
-    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(validf), 1.0)
+    denom = jnp.sum((text_len > 0).astype(jnp.float32))
+    return jnp.sum(per_seq) / jnp.maximum(denom, 1.0)
 
 
 def least_error(pred: Array, tgt: Array, tgt_len: Array, *,

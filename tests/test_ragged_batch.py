@@ -54,6 +54,28 @@ def test_ctc_loss_drops_nan_on_invalid_rows():
     assert jnp.isfinite(loss)
 
 
+def test_ctc_loss_zero_infinity_drops_infeasible_rows():
+    """Reference criterion/ctc.py:9 defaults zero_infinity=True: a row whose
+    alignment is impossible (too few frames for labels + forced blanks) must
+    contribute 0 loss/grad, not optax's ~1e5 log_epsilon clamp."""
+    B, T, V = 2, 4, 5
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (B, T, V))
+    # row 0: labels [1,1,1] -> needs 3 + 2 forced blanks = 5 > T=4 frames
+    # row 1: labels [1,2,3] -> needs 3 <= 4, feasible
+    text = jnp.array([[1, 1, 1], [1, 2, 3]], jnp.int32)
+    tlen = jnp.array([3, 3])
+    llen = jnp.array([4, 4])
+    loss = ctc_loss(logits, llen, text, tlen)
+    feas_only = ctc_loss(logits[1:], llen[1:], text[1:], tlen[1:])
+    # zeroed row stays in the denominator (torch zero_infinity semantics)
+    assert abs(float(loss) - float(feas_only) / 2) < 1e-4, (loss, feas_only)
+    g = jax.grad(lambda lg: ctc_loss(lg, llen, text, tlen))(logits)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g[0]))) == 0.0  # infeasible row: no grad
+    assert float(jnp.max(jnp.abs(g[1]))) > 0.0
+
+
 def test_accuracy_denominator_ignores_padding_rows():
     # 2 rows, row1 is padding (text_len=0 -> -1 after _maybe_shift)
     V = 5
