@@ -107,14 +107,21 @@ class PositionwiseFeedForward(nn.Module):
                     dtype=jnp.int32)
 
             seed = draw_seed(rate > 0.0)
-            if residual is not None:
+            import os
+            if residual is not None and not os.environ.get(
+                    "SPEECHAIN_DISABLE_FUSED_FFN_RESIDUAL"):
                 rseed = draw_seed(rrate > 0.0)
                 return fused_ffn_residual(
                     x.astype(self.dtype), residual.astype(self.dtype),
                     k1, b1, k2, b2, seed, rseed, self.fdfwd_activation,
                     rate, rrate, res_scale)
-            return fused_ffn(x.astype(self.dtype), k1, b1, k2, b2, seed,
-                             self.fdfwd_activation, rate)
+            out = fused_ffn(x.astype(self.dtype), k1, b1, k2, b2, seed,
+                            self.fdfwd_activation, rate)
+            if residual is not None:     # ablation path (flag above)
+                out = nn.Dropout(res_dropout,
+                                 deterministic=not train)(out)
+                out = residual + res_scale * out
+            return out
         if self.fdfwd_type == "linear":
             h = nn.Dense(self.fdfwd_dim, dtype=self.dtype, name="in_layer")(x)
         elif self.fdfwd_type == "conv":

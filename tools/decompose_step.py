@@ -303,6 +303,92 @@ def main(which="all"):
         timed("optimizer (clip+adam, 29M params)",
               jax.jit(opt_step), (fake, ost), 1)
 
+    # ---- full-step kernel ablations (the bench step, one flag off at a
+    # time; env flags are read at trace time so each combo retraces).
+    # NOT in "all": 7 full-step compiles are ~25 min on the tunnel.
+    if which == "ablate":
+        import numpy as _np
+        from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
+        from speechain_tpu.ops.feat_norm import FeatNormConfig
+        from speechain_tpu.ops.frontend import FrontendConfig
+        from speechain_tpu.ops.specaug import SpecAugmentConfig
+        from speechain_tpu.parallel.mesh import (make_mesh,
+                                                 train_step_under_mesh)
+        from speechain_tpu.train.optim import build_optimizer
+        from speechain_tpu.train.state import (init_train_state,
+                                               make_arasr_step)
+
+        V = 1000
+        cfg = ARASRConfig(
+            vocab_size=V, frontend=FrontendConfig(n_mels=80,
+                                                  preemphasis=0.97),
+            feat_norm=FeatNormConfig(feat_dim=80),
+            specaug=SpecAugmentConfig(freq_mask_width=27,
+                                      time_mask_width=0.05),
+            enc_prenet=dict(conv_dims=[D, D], conv_kernel=3, conv_stride=2,
+                            conv_batchnorm=True,
+                            conv_activation="LeakyReLU", lnr_dims=D),
+            encoder_type="conformer",
+            encoder=dict(d_model=D, num_heads=H, num_layers=12,
+                         fdfwd_dim=4 * D, fdfwd_activation="GELU"),
+            dec_emb=dict(embedding_dim=D),
+            decoder=dict(d_model=D, num_heads=H, num_layers=6,
+                         fdfwd_dim=4 * D, fdfwd_activation="GELU"),
+            ctc_weight=0.3, label_smoothing=0.1, dtype=jnp.bfloat16)
+        net = ARASRNet(cfg=cfg)
+        Tw, L = 8 * 16000, 32
+        batch = dict(
+            feat=jax.random.normal(rng, (B, Tw, 1)) * 0.1,
+            feat_len=jnp.full((B,), Tw, jnp.int32),
+            text=jax.random.randint(rng, (B, L), 2, V).astype(jnp.int32),
+            text_len=jnp.full((B,), L, jnp.int32),
+            epoch=jnp.zeros((), jnp.int32))
+        mesh = make_mesh(n_data=len(jax.devices()))
+        tx = build_optimizer(optim_conf={"lr": 2e-3}, warmup_steps=4000)
+        variables = jax.jit(
+            lambda r, f, fl, tt, tl: net.init(
+                {"params": r, "dropout": r, "specaug": r}, f, fl, tt, tl,
+                train=False))(rng, batch["feat"], batch["feat_len"],
+                              batch["text"], batch["text_len"])
+
+        combos = [
+            ("all kernels on", {}),
+            ("convmod kernel OFF", {"SPEECHAIN_DISABLE_FUSED_CONVMOD": "1"}),
+            ("ffn-residual epilogue OFF",
+             {"SPEECHAIN_DISABLE_FUSED_FFN_RESIDUAL": "1"}),
+            ("ffn kernel OFF", {"SPEECHAIN_DISABLE_FUSED_FFN": "1"}),
+            ("flash attention OFF", {"SPEECHAIN_DISABLE_FLASH_ATT": "1"}),
+            ("fused LN OFF", {"SPEECHAIN_DISABLE_FUSED_LN": "1"}),
+            ("ALL pallas OFF", {"SPEECHAIN_DISABLE_PALLAS": "1"}),
+        ]
+        frames = B * (Tw // 160 + 1)
+        for name, env in combos:
+            for kk, vv in env.items():
+                os.environ[kk] = vv
+            try:
+                state = init_train_state(variables, tx)
+                jstep = train_step_under_mesh(
+                    make_arasr_step(net, cfg, tx, axis_name="data"), mesh)
+                state, m = jstep(state, batch, rng)
+                _np.asarray(m["loss"])
+                for w in range(WARM):
+                    state, m = jstep(state, batch,
+                                     jax.random.fold_in(rng, w))
+                _np.asarray(m["loss"])
+                t0 = _t()
+                for r in range(REPS):
+                    state, m = jstep(state, batch,
+                                     jax.random.fold_in(rng, 100 + r))
+                lv = float(_np.asarray(m["loss"]))
+                dt = (_t() - t0) / REPS
+                print(f"step[{name:28s}]: {dt * 1e3:7.1f} ms/step "
+                      f"{frames / dt / 1e3:6.0f}k frames/s  loss={lv:.2f}",
+                      flush=True)
+                del state, jstep
+            finally:
+                for kk in env:
+                    os.environ.pop(kk, None)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "all")
