@@ -33,17 +33,20 @@ Array = jnp.ndarray
 
 
 def _flash_eligible(decode, cross_cache, cached_kv, return_attmat, mask,
-                    q, k) -> bool:
-    """Route through the fused Pallas kernel? Requires the plain training
-    self-attention shape (square, no KV cache), no attmat output, and a
-    key-style mask (None or (B, 1, Tk)); see ops/pallas_attention.py.
+                    q, k, causal) -> bool:
+    """Route through the fused Pallas kernel? Requires a plain training
+    attention shape (no KV cache), no attmat output, and a key-style mask
+    (None or (B, 1, Tk)); see ops/pallas_attention.py. Rectangular
+    Tq != Tk (decoder cross-attention) is fine unless ``causal``.
     ``q``/``k`` are the UNPROJECTED (B, T, D) module inputs."""
     from speechain_tpu.ops.pallas_attention import MAX_T, flash_enabled
     if decode or cross_cache is not None or cached_kv is not None:
         return False
     if return_attmat:
         return False
-    if q.shape[1] != k.shape[1] or q.shape[1] > MAX_T:
+    if causal and q.shape[1] != k.shape[1]:
+        return False
+    if max(q.shape[1], k.shape[1]) > MAX_T:
         return False
     if mask is not None and mask.shape[1] != 1:
         return False
@@ -123,7 +126,7 @@ class MultiHeadedAttention(nn.Module):
             features=self.d_model, dtype=self.dtype, name=name)
 
         if _flash_eligible(decode, cross_cache, cached_kv, return_attmat,
-                           mask, q, k):
+                           mask, q, k, causal):
             # fused VMEM-resident attention (ops/pallas_attention.py):
             # scores/softmax/dropout never touch HBM, and the kernel
             # consumes the natural (B, T, H, Dh) reshape of the projection
@@ -269,7 +272,8 @@ class RelPosMultiHeadedAttention(nn.Module):
         scale0 = (1.0 / math.sqrt(Dh) if self.scale_dp_by_head
                   else 1.0 / math.sqrt(self.d_model))
 
-        if (_flash_eligible(False, None, None, return_attmat, mask, q, k)
+        if (_flash_eligible(False, None, None, return_attmat, mask, q, k,
+                            causal=False)
                 and posenc.shape[0] == 1
                 and posenc.shape[1] == 2 * q.shape[1] - 1):
             # fused VMEM-resident rel-pos attention: the (T, 2T-1) band,

@@ -198,12 +198,12 @@ def _dropout_mask(shape, rate: float, seed_scalar):
     return keep * (1.0 / (1.0 - rate))
 
 
-def _mask_scores(s, kmask, causal: bool, T: int):
+def _mask_scores(s, kmask, causal: bool):
     if kmask is not None:
-        s = jnp.where(kmask > 0, s, NEG_FILL)          # (1,T) broadcast
+        s = jnp.where(kmask > 0, s, NEG_FILL)          # (1,Tk) broadcast
     if causal:
-        r = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        r = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(c <= r, s, NEG_FILL)
     return s
 
@@ -221,25 +221,25 @@ def _gmask_spec(G, T):
 # standard MHA
 # ===========================================================================
 
-def _std_scores(q, k, kmask, scale, causal, T):
+def _std_scores(q, k, kmask, scale, causal):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale    # (T, T)
-    return _mask_scores(s, kmask, causal, T)
+        preferred_element_type=jnp.float32) * scale    # (Tq, Tk)
+    return _mask_scores(s, kmask, causal)
 
 
 def _std_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref, *,
                     scale, causal, rate, G, H):
     i = pl.program_id(0)
-    T, D = q_ref.shape[1], q_ref.shape[2]
+    D = q_ref.shape[2]
     Dh = D // H
     for g in range(G):
-        kmask = m_ref[g] if m_ref is not None else None      # (1, T)
-        qg, kg, vg = q_ref[g], k_ref[g], v_ref[g]            # (T, D)
+        kmask = m_ref[g] if m_ref is not None else None      # (1, Tk)
+        qg, kg, vg = q_ref[g], k_ref[g], v_ref[g]            # (Tq|Tk, D)
         for h in range(H):
             sl = slice(h * Dh, (h + 1) * Dh)                 # lane slice
             q, k, v = qg[:, sl], kg[:, sl], vg[:, sl]
-            p = _softmax_fp32(_std_scores(q, k, kmask, scale, causal, T))
+            p = _softmax_fp32(_std_scores(q, k, kmask, scale, causal))
             if rate > 0.0:
                 p = p * _dropout_mask(
                     p.shape, rate, seed_ref[0] + ((i * G + g) * H + h))
@@ -251,7 +251,7 @@ def _std_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref, *,
 def _std_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, g_ref,
                     dq_ref, dk_ref, dv_ref, *, scale, causal, rate, G, H):
     i = pl.program_id(0)
-    T, D = q_ref.shape[1], q_ref.shape[2]
+    D = q_ref.shape[2]
     Dh = D // H
     for g in range(G):
         kmask = m_ref[g] if m_ref is not None else None
@@ -261,7 +261,7 @@ def _std_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, g_ref,
             q, k, v = qg[:, sl], kg[:, sl], vg[:, sl]
             cd = q.dtype
             go = gg[:, sl]                             # stay in cd
-            p = _softmax_fp32(_std_scores(q, k, kmask, scale, causal, T))
+            p = _softmax_fp32(_std_scores(q, k, kmask, scale, causal))
             if rate > 0.0:
                 dmask = _dropout_mask(
                     p.shape, rate, seed_ref[0] + ((i * G + g) * H + h))
@@ -297,12 +297,14 @@ def flash_attention(q: Array, k: Array, v: Array, seed: Array,
                     key_mask: Optional[Array] = None) -> Array:
     """Fused MHA: softmax(mask(q k^T * scale)) v, VMEM-resident per group.
 
-    q/k/v: **(B, T, D)** — the raw projection outputs; heads are LANE
-    slices of width D // num_heads inside the kernel (no transpose, no
-    reshape). key_mask: (B, T) int32 (1 = attendable) or None. Returns
-    (B, T, D) in q.dtype. ``seed`` — (1,) int32 array (may be traced,
-    e.g. folded from the step rng) keying in-kernel dropout; the backward
-    regenerates the identical mask from it.
+    q: **(B, Tq, D)**, k/v: **(B, Tk, D)** — the raw projection outputs;
+    heads are LANE slices of width D // num_heads inside the kernel (no
+    transpose, no reshape). Rectangular Tq != Tk is supported (decoder
+    cross-attention); ``causal`` requires Tq == Tk. key_mask: (B, Tk)
+    int32 (1 = attendable) or None. Returns (B, Tq, D) in q.dtype.
+    ``seed`` — (1,) int32 array (may be traced, e.g. folded from the step
+    rng) keying in-kernel dropout; the backward regenerates the identical
+    mask from it.
     """
     return _flash_fwd(q, k, v, seed, scale, num_heads, causal,
                       dropout_rate, key_mask)[0]
@@ -310,16 +312,18 @@ def flash_attention(q: Array, k: Array, v: Array, seed: Array,
 
 def _flash_fwd(q, k, v, seed, scale, num_heads, causal, dropout_rate,
                key_mask):
-    B, T, D = q.shape
-    G = _pick_group(B, T, D)
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    assert not causal or Tq == Tk, "causal attention must be square"
+    G = _pick_group(B, max(Tq, Tk), D)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-             _btd_spec(G, T, D), _btd_spec(G, T, D), _btd_spec(G, T, D)]
+             _btd_spec(G, Tq, D), _btd_spec(G, Tk, D), _btd_spec(G, Tk, D)]
     args = [seed_arr, q, k, v]
     kw = dict(scale=scale, causal=causal, rate=dropout_rate, G=G,
               H=num_heads)
     if key_mask is not None:
-        specs.append(_gmask_spec(G, T))
+        specs.append(_gmask_spec(G, Tk))
         args.append(key_mask.astype(jnp.int32)[:, None, :])
         kern = functools.partial(_std_fwd_kernel, **kw)
     else:
@@ -330,8 +334,8 @@ def _flash_fwd(q, k, v, seed, scale, num_heads, causal, dropout_rate,
         kern,
         grid=(B // G,),
         in_specs=specs,
-        out_specs=_btd_spec(G, T, D),
-        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+        out_specs=_btd_spec(G, Tq, D),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, D), q.dtype),
         interpret=_interpret(),
     )(*args)
     return out, (q, k, v, seed_arr, key_mask)
@@ -339,29 +343,33 @@ def _flash_fwd(q, k, v, seed, scale, num_heads, causal, dropout_rate,
 
 def _flash_bwd(scale, num_heads, causal, dropout_rate, res, g):
     q, k, v, seed_arr, key_mask = res
-    B, T, D = q.shape
-    G = _pick_group(B, T, D)
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    G = _pick_group(B, max(Tq, Tk), D)
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-             _btd_spec(G, T, D), _btd_spec(G, T, D), _btd_spec(G, T, D)]
+             _btd_spec(G, Tq, D), _btd_spec(G, Tk, D), _btd_spec(G, Tk, D)]
     args = [seed_arr, q, k, v]
     kw = dict(scale=scale, causal=causal, rate=dropout_rate, G=G,
               H=num_heads)
     if key_mask is not None:
-        specs.append(_gmask_spec(G, T))
+        specs.append(_gmask_spec(G, Tk))
         args.append(key_mask.astype(jnp.int32)[:, None, :])
         kern = functools.partial(_std_bwd_kernel, **kw)
     else:
         kern = functools.partial(
             lambda s, qq, kk, vv, gg, dq, dk, dv, **kkw: _std_bwd_kernel(
                 s, qq, kk, vv, None, gg, dq, dk, dv, **kkw), **kw)
-    specs.append(_btd_spec(G, T, D))
+    specs.append(_btd_spec(G, Tq, D))
     args.append(g)
     dq, dk, dv = pl.pallas_call(
         kern,
         grid=(B // G,),
         in_specs=specs,
-        out_specs=[_btd_spec(G, T, D)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((B, T, D), q.dtype)] * 3,
+        out_specs=[_btd_spec(G, Tq, D), _btd_spec(G, Tk, D),
+                   _btd_spec(G, Tk, D)],
+        out_shape=[jax.ShapeDtypeStruct((B, Tq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, Tk, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, Tk, D), q.dtype)],
         interpret=_interpret(),
     )(*args)
     return dq, dk, dv, None, None
@@ -398,7 +406,7 @@ def _rel_scores(q, k, ph, bu, bv, kmask, scale, T):
                             preferred_element_type=jnp.float32) + bvp
     bd = _rel_shift_band(W, T)
     s = (ac + bd) * scale
-    return _mask_scores(s, kmask, False, T)
+    return _mask_scores(s, kmask, False)
 
 
 def _rel_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,

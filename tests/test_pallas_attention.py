@@ -133,6 +133,39 @@ def test_flash_attention_grads(causal):
 
 
 @pytest.mark.parametrize("masked", [False, True])
+def test_flash_attention_rectangular(masked):
+    """Cross-attention shape: Tq != Tk (decoder queries over encoder
+    keys/values), key-style mask over Tk."""
+    B, H, Tq, Tk, Dh = 2, 3, 10, 24, 16
+    ks = jax.random.split(RNG, 5)
+    q = jax.random.normal(ks[0], (B, H, Tq, Dh))
+    k = jax.random.normal(ks[1], (B, H, Tk, Dh))
+    v = jax.random.normal(ks[2], (B, H, Tk, Dh))
+    g = jax.random.normal(ks[3], (B, H, Tq, Dh))
+    lens = jax.random.randint(ks[4], (B,), Tk // 2, Tk + 1)
+    km = ((jnp.arange(Tk)[None, :] < lens[:, None]).astype(jnp.int32)
+          if masked else None)
+    scale = 1.0 / np.sqrt(48.0)
+    out = _flash_std(q, k, v, SEED, scale, False, 0.0, km)
+    ref = _ref_std(q, k, v, scale, False, km)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_f(qq, kk, vv):
+        return jnp.sum(_flash_std(qq, kk, vv, SEED, scale, False, 0.0,
+                                  km) * g)
+
+    def loss_r(qq, kk, vv):
+        return jnp.sum(_ref_std(qq, kk, vv, scale, False, km) * g)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
 def test_flash_relpos_forward(masked):
     q, k, v, _, ph, bu, bv, kmask = _inputs()
     scale = 1.0 / np.sqrt(48.0)
@@ -230,6 +263,73 @@ def test_mha_module_flash_matches_xla(monkeypatch):
         assert none_mat is None
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_mha_module_flash_cross_matches_xla(monkeypatch):
+    """Cross-attention (Tq != Tk, key-style src mask) through the kernel
+    must match the module's XLA path — the decoder cross-attention
+    training shape."""
+    from speechain_tpu.nn.attention import MultiHeadedAttention
+
+    ks = jax.random.split(RNG, 2)
+    q = jax.random.normal(ks[0], (2, 10, 48))
+    kv = jax.random.normal(ks[1], (2, 24, 48))
+    lens = jnp.asarray([24, 13])
+    mask = (jnp.arange(24)[None, :] < lens[:, None])[:, None, :]
+    att = MultiHeadedAttention(d_model=48, num_heads=3, dropout=0.0)
+    variables = att.init({"params": RNG}, q, kv, kv, mask)
+
+    monkeypatch.delenv("SPEECHAIN_FORCE_FLASH_ATT", raising=False)
+    ref, _ = att.apply(variables, q, kv, kv, mask, return_attmat=True)
+    monkeypatch.setenv("SPEECHAIN_FORCE_FLASH_ATT", "1")
+    out, none_mat = att.apply(variables, q, kv, kv, mask,
+                              return_attmat=False)
+    assert none_mat is None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_transformer_decoder_flash_matches_xla(monkeypatch):
+    """Full TransformerDecoder training pass (causal self-att + rectangular
+    cross-att, both kernel-routed) must match the XLA path, fwd + grads."""
+    from speechain_tpu.nn.transformer import TransformerDecoder
+
+    dec = TransformerDecoder(d_model=32, num_heads=4, num_layers=2,
+                             fdfwd_dim=64, att_dropout=0.0,
+                             fdfwd_dropout=0.0, res_dropout=0.0,
+                             posenc_dropout=0.0)
+    ks = jax.random.split(RNG, 2)
+    tgt = jax.random.normal(ks[0], (2, 9, 32))
+    enc = jax.random.normal(ks[1], (2, 21, 32))
+    tgt_mask = (jnp.arange(9)[None, :] <
+                jnp.asarray([9, 6])[:, None])[:, None, :]
+    src_mask = (jnp.arange(21)[None, :] <
+                jnp.asarray([21, 14])[:, None])[:, None, :]
+    variables = dec.init({"params": RNG}, tgt, enc, tgt_mask, src_mask)
+
+    def loss(params, use_flash):
+        if use_flash:
+            monkeypatch.setenv("SPEECHAIN_FORCE_FLASH_ATT", "1")
+        else:
+            monkeypatch.delenv("SPEECHAIN_FORCE_FLASH_ATT", raising=False)
+        out = dec.apply(
+            {"params": params,
+             **{k: v for k, v in variables.items() if k != "params"}},
+            tgt, enc, tgt_mask, src_mask, train=False,
+            return_attmat=False)[0]
+        return jnp.sum(out ** 2)
+
+    l_ref = loss(variables["params"], False)
+    g_ref = jax.grad(lambda p: loss(p, False))(variables["params"])
+    l_f = loss(variables["params"], True)
+    g_f = jax.grad(lambda p: loss(p, True))(variables["params"])
+    assert abs(float(l_ref) - float(l_f)) < 2e-3 * max(1.0, abs(float(l_ref)))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g_f)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg="/".join(str(p) for p in pa))
 
 
 def test_conformer_encoder_flash_matches_xla(monkeypatch):
