@@ -86,11 +86,17 @@ def flash_enabled() -> bool:
     return not _interpret()
 
 
-def _pick_group(B: int, T: int, Dh: int) -> int:
-    """Batch rows per grid step: largest power of two <= 8 dividing B
-    (VMEM: 8 rows x 4 heads of (T, Dh) bf16 ~ 2.5 MB per operand)."""
+def _pick_group(B: int, T: int, D: int, itemsize: int = 2) -> int:
+    """Batch rows per grid step: largest power of two <= 8 dividing B whose
+    VMEM working set fits. The pipeline double-buffers every in/out block
+    (q, k, v, out: 2 x 4 x G*T*D bytes) and the per-(g,h) score math keeps
+    a few live (T, T) fp32 temps; budget ~12 MB of the ~16 MB VMEM. At the
+    encoder bench shape (T=201, D=256, bf16) this still picks G=8; at
+    longer-T / wider-D shapes (e.g. FastSpeech2 frame-level self-attention,
+    T=640, D=384) it backs off instead of overflowing VMEM."""
+    budget = 12 * 2**20 - 3 * T * T * 4
     for g in (8, 4, 2, 1):
-        if B % g == 0:
+        if B % g == 0 and 2 * 4 * g * T * D * itemsize <= budget:
             return g
     return 1
 
@@ -315,7 +321,7 @@ def _flash_fwd(q, k, v, seed, scale, num_heads, causal, dropout_rate,
     B, Tq, D = q.shape
     Tk = k.shape[1]
     assert not causal or Tq == Tk, "causal attention must be square"
-    G = _pick_group(B, max(Tq, Tk), D)
+    G = _pick_group(B, max(Tq, Tk), D, q.dtype.itemsize)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
              _btd_spec(G, Tq, D), _btd_spec(G, Tk, D), _btd_spec(G, Tk, D)]
@@ -345,7 +351,7 @@ def _flash_bwd(scale, num_heads, causal, dropout_rate, res, g):
     q, k, v, seed_arr, key_mask = res
     B, Tq, D = q.shape
     Tk = k.shape[1]
-    G = _pick_group(B, max(Tq, Tk), D)
+    G = _pick_group(B, max(Tq, Tk), D, q.dtype.itemsize)
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
              _btd_spec(G, Tq, D), _btd_spec(G, Tk, D), _btd_spec(G, Tk, D)]
     args = [seed_arr, q, k, v]
@@ -541,7 +547,7 @@ def _rel_fwd(q, k, v, ph, bias_u, bias_v, seed, scale, num_heads,
              dropout_rate, key_mask):
     B, T, D = q.shape
     L = ph.shape[0]
-    G = _pick_group(B, T, D)
+    G = _pick_group(B, T, D, q.dtype.itemsize)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     ph_spec = pl.BlockSpec((L, D), lambda i: (0, 0))
     bias_spec = pl.BlockSpec((1, D), lambda i: (0, 0))
@@ -575,7 +581,7 @@ def _rel_bwd(scale, num_heads, dropout_rate, res, g):
     q, k, v, ph, bias_u, bias_v, seed_arr, key_mask = res
     B, T, D = q.shape
     L = ph.shape[0]
-    G = _pick_group(B, T, D)
+    G = _pick_group(B, T, D, q.dtype.itemsize)
     ph_spec = pl.BlockSpec((L, D), lambda i: (0, 0))
     bias_spec = pl.BlockSpec((1, D), lambda i: (0, 0))
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
