@@ -37,14 +37,16 @@ TILE_T = 128  # frames per program
 
 def _logmel_kernel(frames_ref, basis_ref, mel_ref, out_ref, *,
                    n_freq: int, clamp: float, log_base, mag_spec: bool,
-                   logging: bool):
-    # fp32-exact contract: force full-precision MXU passes (the default
-    # decomposes fp32 into bf16 passes and breaks the <1e-4 log-Mel bound)
+                   logging: bool, precision):
+    # fp32 contract: the default MXU precision decomposes fp32 into bf16
+    # passes and breaks the <1e-4 log-Mel bound; HIGHEST (6-pass) is exact
+    # and HIGH (3-pass) also meets the bound where validated
+    # (tools/validate_frontend_precision.py) — FrontendConfig.matmul_precision
     spec = jax.lax.dot_general(
         frames_ref[...], basis_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
     re, im = spec[:, :n_freq], spec[:, n_freq:]
     power = re * re + im * im
     if mag_spec:
@@ -53,7 +55,7 @@ def _logmel_kernel(frames_ref, basis_ref, mel_ref, out_ref, *,
         power, mel_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
     if logging:
         mel = jnp.log(jnp.maximum(mel, clamp))
         if log_base is not None:
@@ -98,10 +100,12 @@ def pallas_logmel(wave: jnp.ndarray, wave_len: jnp.ndarray,
         n_freq, cfg.n_mels, cfg.sr, cfg.fmin, cfg.fmax, cfg.mel_scale,
         cfg.mel_norm))
 
+    from speechain_tpu.ops.frontend import _precision
     kernel = functools.partial(
         _logmel_kernel, n_freq=n_freq, clamp=cfg.clamp,
         log_base=cfg.log_base if cfg.logging else None,
-        mag_spec=cfg.mag_spec, logging=cfg.logging)
+        mag_spec=cfg.mag_spec, logging=cfg.logging,
+        precision=_precision(cfg))
 
     feat = pl.pallas_call(
         kernel,
