@@ -24,8 +24,19 @@ import time
 
 REF_FRAMES_PER_SEC = 45_000.0
 
+# benched ASR architecture dims, shared by the train/decode sections and
+# the anchored-FLOPs baselines (reference 5-bpe1k_conformer-small)
+ARCH = {"V": 1000, "D": 256, "L": 32, "T": 8 * 16000}
+
 _T0 = time.perf_counter()
 _LAST_PROGRESS = [time.perf_counter()]
+
+# accumulated result fields: sections update this as they complete, so a
+# failure (or the watchdog) still emits every metric measured so far
+_METRICS = {
+    "metric": "asr_train_melframes_per_sec_per_chip",
+    "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+}
 
 
 def _progress(msg):
@@ -59,8 +70,7 @@ def _start_watchdog():
                       f"wedged — emitting error line", file=sys.stderr,
                       flush=True)
                 print(json.dumps({
-                    "metric": "asr_train_melframes_per_sec_per_chip",
-                    "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+                    **_METRICS,
                     "error": f"watchdog: {why} (device link unreachable?)",
                 }), flush=True)
                 os._exit(2)
@@ -98,7 +108,7 @@ def main():
 
     # conformer-small (reference 5-bpe1k_conformer-small: d_model 256,
     # 12 conformer layers, 6 decoder layers, bpe1k vocab)
-    V, D = 1000, 256
+    V, D = ARCH["V"], ARCH["D"]
     cfg = ARASRConfig(
         vocab_size=V,
         frontend=FrontendConfig(n_mels=80, preemphasis=0.97),
@@ -123,8 +133,8 @@ def main():
     # 576k at B=64 (fixed per-step cost amortizes) and 530k at B=256
     # (something saturates; see docs/BENCHMARKS.md batch-scaling table).
     B = int(os.environ.get("BENCH_BATCH", "128"))
-    SECS, L = 8, 32
-    T = SECS * 16000
+    L, T = ARCH["L"], ARCH["T"]
+    SECS = T // 16000
     rng = jax.random.PRNGKey(0)
     batch = dict(
         feat=jax.random.normal(rng, (B, T, 1)) * 0.1,
@@ -133,16 +143,9 @@ def main():
         text_len=jnp.full((B,), L, jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
     )
-    _progress('init params (jitted)')
-    variables = jax.jit(
-        lambda r, f, fl, t, tl: net.init(
-            {"params": r, "dropout": r, "specaug": r}, f, fl, t, tl,
-            train=False)
-    )(rng, batch["feat"], batch["feat_len"], batch["text"],
-      batch["text_len"])
-    jax.block_until_ready(variables)
     tx = build_optimizer(optim_conf={"lr": 2e-3}, warmup_steps=4000)
-    state = init_train_state(variables, tx)
+    N = int(os.environ.get("BENCH_CHAIN_STEPS", "30"))
+    mesh = make_mesh(n_data=len(jax.devices()))
 
     # Measurement protocol (docs/BENCHMARKS.md "methodology"): the remote
     # device link can acknowledge async dispatches AND block_until_ready
@@ -151,30 +154,61 @@ def main():
     # step's donated state, fresh fold_in rng each step) and then copies
     # the FINAL loss to host: its value depends on every update in the
     # chain, so the copy completes only after all N steps really executed.
-    _progress('building train step')
-    N = int(os.environ.get("BENCH_CHAIN_STEPS", "30"))
-    mesh = make_mesh(n_data=len(jax.devices()))
-    jstep = train_step_under_mesh(
-        make_arasr_step(net, cfg, tx, axis_name="data"), mesh)
+    #
+    # Kernel-fallback ladder: a Pallas kernel that fails to lower on this
+    # backend must degrade the number, not zero the benchmark. Each rung
+    # additionally disables one kernel family (flags read at trace time,
+    # ops/*.py *_enabled()) and rebuilds params + step from scratch.
+    LADDER = (None, "SPEECHAIN_DISABLE_FUSED_CONVMOD",
+              "SPEECHAIN_DISABLE_FLASH_ATT", "SPEECHAIN_DISABLE_PALLAS")
+    dt = state = None
+    for rung, flag in enumerate(LADDER):
+        if flag is not None:
+            os.environ[flag] = "1"
+            _METRICS["kernel_fallback"] = flag
+            _progress(f'train attempt {rung}: retrying with {flag}=1')
+        try:
+            _progress('init params (jitted)')
+            variables = jax.jit(
+                lambda r, f, fl, t, tl: net.init(
+                    {"params": r, "dropout": r, "specaug": r}, f, fl, t, tl,
+                    train=False)
+            )(rng, batch["feat"], batch["feat_len"], batch["text"],
+              batch["text_len"])
+            jax.block_until_ready(variables)
+            state = init_train_state(variables, tx)
+            _progress('building train step')
+            jstep = train_step_under_mesh(
+                make_arasr_step(net, cfg, tx, axis_name="data"), mesh)
+            # warmup / compile; the host copy absorbs the compile backlog
+            state, m = jstep(state, batch, rng)
+            np.asarray(m["loss"])
 
-    # warmup / compile; the host copy absorbs the compile+first-run backlog
-    state, m = jstep(state, batch, rng)
-    np.asarray(m["loss"])
-
-    _progress('train step compiled; timing')
-    best_dt = None
-    for trial in range(2):
-        t0 = time.perf_counter()
-        for i in range(N):
-            state, m = jstep(state, batch,
-                             jax.random.fold_in(rng, 1000 * trial + i))
-        final_loss = float(np.asarray(m["loss"]))
-        dt = time.perf_counter() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-        _progress(f'trial {trial}: {dt / N * 1e3:.1f} ms/step '
-                  f'loss={final_loss:.2f}')
-    assert np.isfinite(final_loss)
-    dt = best_dt
+            _progress('train step compiled; timing')
+            best_dt = None
+            for trial in range(2):
+                t0 = time.perf_counter()
+                for i in range(N):
+                    state, m = jstep(state, batch,
+                                     jax.random.fold_in(rng,
+                                                        1000 * trial + i))
+                final_loss = float(np.asarray(m["loss"]))
+                dt_i = time.perf_counter() - t0
+                best_dt = dt_i if best_dt is None else min(best_dt, dt_i)
+                _progress(f'trial {trial}: {dt_i / N * 1e3:.1f} ms/step '
+                          f'loss={final_loss:.2f}')
+            assert np.isfinite(final_loss), f"loss={final_loss}"
+            dt = best_dt
+            break
+        except Exception as e:                  # noqa: BLE001 — ladder rung
+            _progress(f'train attempt {rung} failed: {type(e).__name__}: '
+                      f'{str(e)[:300]}')
+            if flag == LADDER[-1]:
+                print(json.dumps({**_METRICS,
+                                  "error": f"train bench failed on every "
+                                           f"kernel rung: {e!r:.300}"}),
+                      flush=True)
+                return
 
     n_chips = len(jax.devices())
     mel_frames = B * (T // 160 + 1)  # 10 ms hop
@@ -182,6 +216,9 @@ def main():
     value = round(frames_per_sec, 1)
     _progress(f'train: {dt / N * 1e3:.2f} ms/step '
               f'-> {value:,.0f} frames/s/chip')
+    _METRICS.update(
+        value=value,
+        vs_baseline=round(frames_per_sec / REF_FRAMES_PER_SEC, 3))
 
     # ---- inference throughput: jitted beam-16 decode, worst case --------
     # Force the full max-length search (the upper bound; early stopping only
@@ -189,9 +226,29 @@ def main():
     # threshold * best-other (both negative), so a hugely NEGATIVE threshold
     # makes the bar +inf and eos never fires. Same protocol as
     # docs/BENCHMARKS.md "Decoding".
+    try:
+        _decode_bench(batch, net, state, n_chips, SECS)
+    except Exception as e:                      # noqa: BLE001 — keep train #
+        _progress(f'decode bench failed: {type(e).__name__}: {str(e)[:300]}')
+        _METRICS["decode_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    try:
+        _tts_bench(n_chips)
+    except Exception as e:                      # noqa: BLE001 — keep train #
+        _progress(f'TTS bench failed: {type(e).__name__}: {str(e)[:300]}')
+        _METRICS["tts_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    _progress('done')
+    print(json.dumps(_METRICS))
+
+
+def _decode_bench(batch, net, state, n_chips, SECS):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     _progress('train bench done; building decoder')
     from speechain_tpu.infer.asr import make_asr_decoder
-    DB = 16
+    DB = min(16, batch["feat"].shape[0])
     dbatch_feat = batch["feat"][:DB]
     dbatch_len = batch["feat_len"][:DB]
     decoder = make_asr_decoder(net, beam_size=16, eos_filtering=True,
@@ -216,7 +273,7 @@ def main():
     decode_utt_per_sec = DB / dec_dt / n_chips
     decode_rt_factor = DB * SECS / dec_dt / n_chips   # audio-seconds/second
 
-    # ---- anchored reference baselines for decode + TTS ------------------
+    # ---- anchored reference baseline for decode ------------------------
     # Method (same anchor as REF_FRAMES_PER_SEC, utils/flops.py docstring):
     # the reference publishes wall-clock only for training, so its GPU's
     # effective FLOP/s is anchored as 45k mel-frames/s x the train step's
@@ -227,13 +284,8 @@ def main():
     # efficiency is GENEROUS to the reference (small-batch Python-loop
     # decode utilizes a GPU far worse), so vs_baseline is a lower bound.
     from speechain_tpu.utils import flops as fl
-    T_MEL = T // 160 + 1
-    T_ENC = (T_MEL + 3) // 4                  # two stride-2 subsamples
-    enc_fwd = (fl.conv2d_subsample_prenet(T_MEL, 80, [D, D])
-               + fl.conformer_encoder(T_ENC, 12, D, 4 * D))
-    dec_fwd = (fl.transformer_decoder(L, L, T_ENC, 6, D, 4 * D)
-               + fl.linear(L, D, V))
-    ref_eff_flops = REF_FRAMES_PER_SEC * 3.0 * (enc_fwd + dec_fwd) / T_MEL
+    ref_eff_flops, enc_fwd, T_ENC = _ref_anchor()
+    V, D, L = ARCH["V"], ARCH["D"], ARCH["L"]
     L_DEC = max(int(T_ENC / 3.0), 2)          # = our forced full-length law
     ref_decode_flops = enc_fwd + fl.ref_beam_search_decoder_flops(
         L_DEC, T_ENC, 16, 6, D, 4 * D, V)
@@ -241,19 +293,49 @@ def main():
     _progress(f'ref decode baseline: {ref_decode_utt_per_sec:.2f} utt/s '
               f'({ref_eff_flops / 1e12:.2f} TFLOP/s anchor, '
               f'{ref_decode_flops / 1e9:.0f} GFLOP/utt)')
+    _METRICS.update({
+        "decode_beam16_utt_per_sec_per_chip": round(decode_utt_per_sec, 2),
+        "decode_beam16_realtime_factor_per_chip": round(decode_rt_factor, 1),
+        "decode_vs_baseline": round(
+            decode_utt_per_sec / ref_decode_utt_per_sec, 2),
+    })
 
+
+def _ref_anchor():
+    """(effective reference FLOP/s, encoder fwd FLOPs/utt, enc frames)."""
+    from speechain_tpu.utils import flops as fl
+    V, D, L, T = ARCH["V"], ARCH["D"], ARCH["L"], ARCH["T"]
+    T_MEL = T // 160 + 1
+    T_ENC = (T_MEL + 3) // 4                  # two stride-2 subsamples
+    enc_fwd = (fl.conv2d_subsample_prenet(T_MEL, 80, [D, D])
+               + fl.conformer_encoder(T_ENC, 12, D, 4 * D))
+    dec_fwd = (fl.transformer_decoder(L, L, T_ENC, 6, D, 4 * D)
+               + fl.linear(L, D, V))
+    return REF_FRAMES_PER_SEC * 3.0 * (enc_fwd + dec_fwd) / T_MEL, \
+        enc_fwd, T_ENC
+
+
+def _tts_bench(n_chips):
     # ---- TTS synthesis throughput: FastSpeech2 + HiFiGAN ----------------
     # LJSpeech fastspeech2 recipe dims (recipes/tts/ljspeech/exp_cfg/
     # fastspeech2.yaml: d=384, 4+4 layers, ff=1536) + HiFiGAN V1. Static
     # full-capacity synthesis: F mel frames -> F*256 samples at 22.05 kHz,
     # the compute is shape-static so audio-seconds = F * hop regardless of
     # the predicted per-utterance lengths.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     _progress('building TTS synth (FastSpeech2 + HiFiGAN)')
     from speechain_tpu.models.nar_tts import (FastSpeech2Config,
                                               FastSpeech2Net)
     from speechain_tpu.nn.vocoder_hifigan import HiFiGAN
     from speechain_tpu.ops.frontend import FrontendConfig as FCfg
-    TD, TV, TL, TF, TB = 384, 100, 100, 640, 16
+    from speechain_tpu.utils import flops as fl
+    rng = jax.random.PRNGKey(0)
+    TD, TV, TL = 384, 100, 100
+    TF = int(os.environ.get("BENCH_TTS_FRAMES", "640"))   # smoke knob
+    TB = int(os.environ.get("BENCH_TTS_BATCH", "16"))
     tts_cfg = FastSpeech2Config(
         vocab_size=TV,
         frontend=FCfg(sr=22050, n_mels=80, win_length=0.05,
@@ -293,26 +375,17 @@ def main():
         best_tts = dt_t if best_tts is None else min(best_tts, dt_t)
     tts_audio_secs = TB * TF * 0.0125         # 12.5 ms hop
     tts_rt_factor = tts_audio_secs * n_tts / best_tts / n_chips
+    ref_eff_flops, _, _ = _ref_anchor()
     ref_tts_flops = (fl.fastspeech2_fwd_flops(TL, TF, TD, 4 * TD, 4, 4, 80)
                      + fl.hifigan_fwd_flops(TF))
     ref_tts_rt = ref_eff_flops / ref_tts_flops * TF * 0.0125
     _progress(f'TTS: {tts_rt_factor:.0f}x realtime '
               f'(ref baseline {ref_tts_rt:.0f}x, '
               f'{ref_tts_flops / 1e9:.0f} GFLOP/utt)')
-
-    _progress('done')
-    print(json.dumps({
-        "metric": "asr_train_melframes_per_sec_per_chip",
-        "value": value,
-        "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / REF_FRAMES_PER_SEC, 3),
-        "decode_beam16_utt_per_sec_per_chip": round(decode_utt_per_sec, 2),
-        "decode_beam16_realtime_factor_per_chip": round(decode_rt_factor, 1),
-        "decode_vs_baseline": round(
-            decode_utt_per_sec / ref_decode_utt_per_sec, 2),
+    _METRICS.update({
         "tts_synth_realtime_factor_per_chip": round(tts_rt_factor, 1),
         "tts_vs_baseline": round(tts_rt_factor / ref_tts_rt, 2),
-    }))
+    })
 
 
 if __name__ == "__main__":
