@@ -78,11 +78,12 @@ def flash_enabled() -> bool:
     SPEECHAIN_DISABLE_FLASH_ATT disable them.
     """
     import os
-    if os.environ.get("SPEECHAIN_DISABLE_PALLAS") or \
-            os.environ.get("SPEECHAIN_DISABLE_FLASH_ATT"):
+    if os.environ.get("SPEECHAIN_DISABLE_PALLAS"):
         return False
-    if os.environ.get("SPEECHAIN_FORCE_FLASH_ATT"):
-        return True
+    if os.environ.get("SPEECHAIN_FORCE_FLASH_ATT"):          # force outranks the family
+        return True                        # disable (but not the global
+    if os.environ.get("SPEECHAIN_DISABLE_FLASH_ATT"):            # kill switch)
+        return False
     return not _interpret()
 
 

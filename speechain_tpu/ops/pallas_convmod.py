@@ -49,11 +49,12 @@ def _interpret() -> bool:
 
 def fused_convmod_enabled() -> bool:
     import os
-    if os.environ.get("SPEECHAIN_DISABLE_PALLAS") or \
-            os.environ.get("SPEECHAIN_DISABLE_FUSED_CONVMOD"):
+    if os.environ.get("SPEECHAIN_DISABLE_PALLAS"):
         return False
-    if os.environ.get("SPEECHAIN_FORCE_FUSED_CONVMOD"):
-        return True
+    if os.environ.get("SPEECHAIN_FORCE_FUSED_CONVMOD"):          # force outranks the family
+        return True                        # disable (but not the global
+    if os.environ.get("SPEECHAIN_DISABLE_FUSED_CONVMOD"):            # kill switch)
+        return False
     return not _interpret()
 
 

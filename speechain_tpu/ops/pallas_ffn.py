@@ -40,11 +40,12 @@ def _interpret() -> bool:
 
 def fused_ffn_enabled() -> bool:
     import os
-    if os.environ.get("SPEECHAIN_DISABLE_PALLAS") or \
-            os.environ.get("SPEECHAIN_DISABLE_FUSED_FFN"):
+    if os.environ.get("SPEECHAIN_DISABLE_PALLAS"):
         return False
-    if os.environ.get("SPEECHAIN_FORCE_FUSED_FFN"):
-        return True
+    if os.environ.get("SPEECHAIN_FORCE_FUSED_FFN"):          # force outranks the family
+        return True                        # disable (but not the global
+    if os.environ.get("SPEECHAIN_DISABLE_FUSED_FFN"):            # kill switch)
+        return False
     return not _interpret()
 
 

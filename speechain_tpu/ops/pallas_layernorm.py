@@ -46,10 +46,11 @@ def fused_ln_enabled() -> bool:
     (e.g. ahead of a pallas attention consumer) — and as the measured
     record of WHY the default path stays in XLA."""
     import os
-    if os.environ.get("SPEECHAIN_DISABLE_PALLAS") or \
-            os.environ.get("SPEECHAIN_DISABLE_FUSED_LN"):
+    if os.environ.get("SPEECHAIN_DISABLE_PALLAS"):
         return False
-    return bool(os.environ.get("SPEECHAIN_FORCE_FUSED_LN"))
+    if os.environ.get("SPEECHAIN_FORCE_FUSED_LN"):     # force outranks the
+        return True                                    # family disable
+    return False
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, y_ref, mu_ref, rs_ref, *, eps, D):
