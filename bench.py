@@ -161,6 +161,40 @@ def main():
     # ops/*.py *_enabled()) and rebuilds params + step from scratch.
     LADDER = (None, "SPEECHAIN_DISABLE_FUSED_CONVMOD",
               "SPEECHAIN_DISABLE_FLASH_ATT", "SPEECHAIN_DISABLE_PALLAS")
+    def time_train():
+        """Init params, build + compile the step, time 2 x N chained steps.
+        Returns (best seconds per N-step chain, final state)."""
+        _progress('init params (jitted)')
+        variables = jax.jit(
+            lambda r, f, fl, t, tl: net.init(
+                {"params": r, "dropout": r, "specaug": r}, f, fl, t, tl,
+                train=False)
+        )(rng, batch["feat"], batch["feat_len"], batch["text"],
+          batch["text_len"])
+        jax.block_until_ready(variables)
+        st = init_train_state(variables, tx)
+        _progress('building train step')
+        jstep = train_step_under_mesh(
+            make_arasr_step(net, cfg, tx, axis_name="data"), mesh)
+        # warmup / compile; the host copy absorbs the compile backlog
+        st, m = jstep(st, batch, rng)
+        np.asarray(m["loss"])
+
+        _progress('train step compiled; timing')
+        best_dt = None
+        for trial in range(2):
+            t0 = time.perf_counter()
+            for i in range(N):
+                st, m = jstep(st, batch,
+                              jax.random.fold_in(rng, 1000 * trial + i))
+            final_loss = float(np.asarray(m["loss"]))
+            dt_i = time.perf_counter() - t0
+            best_dt = dt_i if best_dt is None else min(best_dt, dt_i)
+            _progress(f'trial {trial}: {dt_i / N * 1e3:.1f} ms/step '
+                      f'loss={final_loss:.2f}')
+        assert np.isfinite(final_loss), f"loss={final_loss}"
+        return best_dt, st
+
     dt = state = None
     for rung, flag in enumerate(LADDER):
         if flag is not None:
@@ -168,37 +202,7 @@ def main():
             _METRICS["kernel_fallback"] = flag
             _progress(f'train attempt {rung}: retrying with {flag}=1')
         try:
-            _progress('init params (jitted)')
-            variables = jax.jit(
-                lambda r, f, fl, t, tl: net.init(
-                    {"params": r, "dropout": r, "specaug": r}, f, fl, t, tl,
-                    train=False)
-            )(rng, batch["feat"], batch["feat_len"], batch["text"],
-              batch["text_len"])
-            jax.block_until_ready(variables)
-            state = init_train_state(variables, tx)
-            _progress('building train step')
-            jstep = train_step_under_mesh(
-                make_arasr_step(net, cfg, tx, axis_name="data"), mesh)
-            # warmup / compile; the host copy absorbs the compile backlog
-            state, m = jstep(state, batch, rng)
-            np.asarray(m["loss"])
-
-            _progress('train step compiled; timing')
-            best_dt = None
-            for trial in range(2):
-                t0 = time.perf_counter()
-                for i in range(N):
-                    state, m = jstep(state, batch,
-                                     jax.random.fold_in(rng,
-                                                        1000 * trial + i))
-                final_loss = float(np.asarray(m["loss"]))
-                dt_i = time.perf_counter() - t0
-                best_dt = dt_i if best_dt is None else min(best_dt, dt_i)
-                _progress(f'trial {trial}: {dt_i / N * 1e3:.1f} ms/step '
-                          f'loss={final_loss:.2f}')
-            assert np.isfinite(final_loss), f"loss={final_loss}"
-            dt = best_dt
+            dt, state = time_train()
             break
         except Exception as e:                  # noqa: BLE001 — ladder rung
             _progress(f'train attempt {rung} failed: {type(e).__name__}: '
@@ -209,6 +213,31 @@ def main():
                                            f"kernel rung: {e!r:.300}"}),
                       flush=True)
                 return
+
+    # A/B guard for the newest kernel: the fused conv-module kernel could
+    # LOWER fine but run slow (cf. the pallas-in-scan pathology,
+    # docs/BENCHMARKS.md) — that would silently cap the headline number.
+    # Unless a ladder rung already disabled it, also time the conv-disabled
+    # step once and keep the faster of the two. Disable with BENCH_AB=0.
+    ab = os.environ.get("BENCH_AB", "1")
+    if ("kernel_fallback" not in _METRICS and ab != "0"
+            and (ab == "force" or jax.default_backend() != "cpu")):
+        _METRICS["ab_convmod_on_ms_per_step"] = round(dt / N * 1e3, 2)
+        try:
+            os.environ["SPEECHAIN_DISABLE_FUSED_CONVMOD"] = "1"
+            _progress('A/B: re-timing with the conv-module kernel disabled')
+            dt2, state2 = time_train()
+            _METRICS["ab_convmod_off_ms_per_step"] = round(dt2 / N * 1e3, 2)
+            if dt2 < dt:
+                dt, state = dt2, state2
+                _METRICS["kernel_fallback"] = (
+                    "SPEECHAIN_DISABLE_FUSED_CONVMOD (A/B: XLA conv faster)")
+            else:
+                del os.environ["SPEECHAIN_DISABLE_FUSED_CONVMOD"]
+        except Exception as e:                  # noqa: BLE001 — A/B is best-
+            _progress(f'A/B attempt failed (keeping kernel-on result): '
+                      f'{type(e).__name__}: {str(e)[:200]}')
+            os.environ.pop("SPEECHAIN_DISABLE_FUSED_CONVMOD", None)
 
     n_chips = len(jax.devices())
     mel_frames = B * (T // 160 + 1)  # 10 ms hop
