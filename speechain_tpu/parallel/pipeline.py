@@ -31,6 +31,14 @@ Two entry points:
   on the last stage, scalar loss psum'd), numerically matching the
   sequential ``make_lm_step`` on the same batch. Selectable from the
   runner via ``--mesh pipe=S`` / ``train_cfg.parallel``.
+- :func:`make_arasr_pipeline_step` — the encoder-decoder flagship:
+  ARASR with a transformer encoder pipelined over 'pipe'; after the
+  fill-drain wave the encoder outputs are scattered (one ``all_to_all``)
+  so every stage runs the FULL decoder + heads + losses on its own 1/S
+  share of the batch — the decoder is data-parallel across the pipe
+  stages rather than replicated garbage compute. Losses recombine
+  exactly (per-share numerator/denominator sums psum'd over 'pipe')
+  so the step matches the sequential ``make_arasr_step`` at 1e-6.
 """
 
 from __future__ import annotations
@@ -324,6 +332,329 @@ def make_lm_pipeline_step(net, tx, mesh, *, n_micro: Optional[int] = None,
                                state.mutables)
         else:
             _, metrics = loss_fn(state.params)
+        return state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
+
+
+def make_arasr_pipeline_step(net, cfg, tx, mesh, *,
+                             n_micro: Optional[int] = None,
+                             train: bool = True, axis: str = "pipe",
+                             donate_state: bool = True) -> Callable:
+    """Pipeline-parallel train/valid step for the REAL ARASRNet.
+
+    Stage split (models/ar_asr.py structure, cited per piece):
+
+    - frontend (log-Mel + feat-norm + SpecAugment) and the Conv2d prenet:
+      computed REPLICATED on every stage over the full per-data-shard
+      batch (cheap relative to the encoder; keeps the feat-norm /
+      BatchNorm running-stat laws identical to the sequential step — the
+      moments see the whole batch, and every stage derives the same new
+      stats);
+    - the transformer encoder layers: stacked along a layer axis and
+      sharded over 'pipe' — the GPipe fill-drain loop, microbatch count
+      ``n_micro = S * A`` giving an A-wide gradient-accumulation window;
+    - decoder + postnet + CTC head + losses: after the wave, ONE
+      ``all_to_all`` leaves each stage holding its own 1/S share of the
+      encoder output (microbatch-contiguous rows), and each stage runs
+      the full decoder on its share — decoder compute is data-parallel
+      across pipe stages instead of replicated. Only per-criterion
+      (numerator, denominator) SUMS cross stages (psum over 'pipe');
+      they recombine to exactly the sequential ``arasr_loss`` reductions
+      (criteria.py: every reduction is sum(num)/max(sum(den), 1)).
+
+    Constraints (asserted): ``encoder_type == 'transformer'`` — the
+    conformer's BatchNorm law takes batch moments over the FULL batch
+    (ops parity with the reference), which microbatched pipelining cannot
+    reproduce without serializing the schedule; ``fdfwd_type != 'moe'``
+    (expert parallelism uses its own axis). ``num_layers % pipe == 0``.
+
+    The param tree is the UNMODIFIED ARASRNet tree (checkpoints and the
+    runner are oblivious); layer subtrees are stacked inside the jitted
+    step. RNG law matches the sequential step where the computation is
+    replicated (SpecAugment draws from the same folded key), and folds by
+    (microbatch, global layer) inside the pipeline — schedule-independent
+    but a different (valid) stream, so exact-match tests run with dropout
+    disabled, like the LM pipeline.
+    """
+    import flax.linen as nn
+    import optax
+
+    from speechain_tpu.models.ar_asr import ASRFrontend
+    from speechain_tpu.nn.posenc import PositionalEncoding
+    from speechain_tpu.nn.postnets import TokenPostnet
+    from speechain_tpu.nn.prenets import Conv2dPrenet, EmbedPrenet
+    from speechain_tpu.nn.transformer import (TransformerDecoder,
+                                              TransformerEncoder,
+                                              TransformerEncoderLayer)
+    from speechain_tpu.train import criteria
+    from speechain_tpu.train.state import TrainState
+    from speechain_tpu.utils.masks import make_mask_from_len
+
+    c = cfg
+    assert c.encoder_type == "transformer", (
+        "pipe>1 requires a transformer ASR encoder: the conformer BatchNorm "
+        "law (batch moments over the full batch) cannot be reproduced under "
+        "microbatched pipelining")
+    assert dict(c.encoder).get("fdfwd_type", "linear") != "moe", (
+        "pipe cannot stage-split MoE layers; use the 'expert' axis")
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    S = sizes[axis]
+    n_data = sizes.get("data", 1)
+    data_axis = "data" if "data" in mesh.axis_names and n_data > 1 else None
+
+    e = TransformerEncoder(dtype=c.dtype, **dict(c.encoder))
+    L = e.num_layers
+    assert L % S == 0, f"encoder num_layers {L} not divisible by pipe={S}"
+    K = L // S
+    n_micro = n_micro or S
+    assert n_micro % S == 0, (n_micro, S)
+
+    frontend = ASRFrontend(frontend=c.frontend, feat_norm=c.feat_norm,
+                           specaug=c.specaug)
+    prenet = Conv2dPrenet(dtype=c.dtype,
+                          bn_axis_name=data_axis, **dict(c.enc_prenet))
+    posenc = PositionalEncoding(
+        d_model=e.d_model, posenc_type=e.posenc_type,
+        emb_layernorm=e.emb_layernorm, emb_scale=e.emb_scale,
+        posenc_scale=e.posenc_scale, init_alpha=e.posenc_init_alpha,
+        dropout=e.posenc_dropout, max_len=e.posenc_maxlen)
+    layer = TransformerEncoderLayer(
+        d_model=e.d_model, num_heads=e.num_heads,
+        scale_dp_by_head=e.scale_dp_by_head, att_dropout=e.att_dropout,
+        fdfwd_dim=e.fdfwd_dim, fdfwd_type=e.fdfwd_type,
+        fdfwd_activation=e.fdfwd_activation, fdfwd_args=e.fdfwd_args,
+        fdfwd_dropout=e.fdfwd_dropout, res_dropout=e.res_dropout,
+        layernorm_first=e.layernorm_first, dtype=e.dtype)
+    final_ln = nn.LayerNorm(epsilon=1e-6)
+    dec_emb = EmbedPrenet(vocab_size=c.vocab_size, dtype=c.dtype,
+                          **dict(c.dec_emb))
+    decoder = TransformerDecoder(dtype=c.dtype, **dict(c.decoder))
+    postnet = TokenPostnet(vocab_size=c.vocab_size, dtype=c.dtype)
+    ctc_head = (TokenPostnet(vocab_size=c.vocab_size, dtype=c.dtype)
+                if c.ctc_weight > 0.0 else None)
+
+    def _slice_share(x, stage, share):
+        return jax.lax.dynamic_slice_in_dim(x, stage * share, share, 0)
+
+    def forward(params, mutables, feat, feat_len, text, text_len,
+                group_ids, epoch, key):
+        """Runs INSIDE shard_map on one (data-shard, stage) device.
+        ``params`` is the regrouped tree (stacked encoder layers local)."""
+        stage = jax.lax.axis_index(axis)
+        k_drop, k_spec = jax.random.split(key)
+
+        # --- replicated front: frontend + prenet over the full local batch
+        fr_vars = {"norm_stats": mutables["norm_stats"]["frontend"]} \
+            if "norm_stats" in mutables else {}
+        fr_kwargs = dict(train=train, epoch=epoch, group_ids=group_ids,
+                         axis_name=data_axis, rngs={"specaug": k_spec})
+        if train and fr_vars:
+            (x, x_len), new_fr = frontend.apply(
+                fr_vars, feat, feat_len, mutable=["norm_stats"], **fr_kwargs)
+        else:
+            x, x_len = frontend.apply(fr_vars, feat, feat_len, **fr_kwargs)
+            new_fr = {}
+        x = x.astype(c.dtype)
+        pn_vars = {"params": params["enc_prenet"]}
+        if "batch_stats" in mutables and "enc_prenet" in mutables["batch_stats"]:
+            pn_vars["batch_stats"] = mutables["batch_stats"]["enc_prenet"]
+        pn_kwargs = dict(
+            train=train,
+            rngs={"dropout": jax.random.fold_in(k_drop, 2 ** 22)})
+        if train and "batch_stats" in pn_vars:
+            (x, x_len), new_pn = prenet.apply(
+                pn_vars, x, x_len, mutable=["batch_stats"], **pn_kwargs)
+        else:
+            x, x_len = prenet.apply(pn_vars, x, x_len, **pn_kwargs)
+            new_pn = {}
+        B, T2, D = x.shape
+        assert B % n_micro == 0, (B, n_micro)
+        mb = B // n_micro
+        share = B // S
+        mask = make_mask_from_len(x_len, T2)           # (B, 1, T2)
+        x = posenc.apply(
+            {"params": params.get("posenc", {})}, x, train=train,
+            rngs={"dropout": jax.random.fold_in(k_drop, 2 ** 20)})
+
+        # --- pipelined encoder layers (GPipe fill-drain over 'pipe')
+        stacked = params["stacked"]                    # leaves (K, ...) local
+        micro = x.reshape(n_micro, mb, T2, D)
+        micro_mask = mask.reshape(n_micro, mb, 1, T2)
+
+        def run_stage(h, m):
+            def body(hh, xs):
+                p_i, idx = xs
+                k_i = jax.random.fold_in(jax.random.fold_in(k_drop, m),
+                                         stage * K + idx)
+                out, _ = layer.apply({"params": p_i}, hh, micro_mask[m],
+                                     train=train, return_attmat=False,
+                                     rngs={"dropout": k_i})
+                return out, None
+            h, _ = jax.lax.scan(body, h, (stacked, jnp.arange(K)))
+            return h
+
+        outs = _fill_drain(run_stage, micro, stage, S, n_micro, axis)
+        enc_share = _scatter_from_last(outs[S - 1:], S, axis)
+        enc_share = enc_share.reshape(share, T2, D)
+        if e.layernorm_first:
+            enc_share = final_ln.apply({"params": params["layernorm"]},
+                                       enc_share)
+
+        # --- per-share decoder + heads (data-parallel across pipe stages):
+        # stage j owns batch rows [j*share, (j+1)*share)
+        t_share = _slice_share(text, stage, share)
+        tl_share = _slice_share(text_len, stage, share)
+        el_share = _slice_share(x_len, stage, share)
+        em_share = make_mask_from_len(el_share, T2)
+
+        k_dec = jax.random.fold_in(jax.random.fold_in(k_drop, 2 ** 21), stage)
+        need_att = c.att_guid_sigma > 0.0
+
+        def run_decoder(enc_f, enc_m, rng_tag, tr):
+            tgt_in = t_share[:, :-1]
+            emb = dec_emb.apply({"params": params["dec_emb"]}, tgt_in)
+            tgt_mask = make_mask_from_len(jnp.maximum(tl_share - 1, 0),
+                                          tgt_in.shape[1])
+            out, _, cross, _ = decoder.apply(
+                {"params": params["decoder"]}, emb, enc_f, tgt_mask, enc_m,
+                train=tr, return_attmat=need_att,
+                rngs={"dropout": jax.random.fold_in(k_dec, rng_tag)})
+            return postnet.apply({"params": params["postnet"]}, out), cross
+
+        logits, cross_att = run_decoder(enc_share, em_share, 0, train)
+
+        # --- losses: per-share (num, den) sums, psum'd over 'pipe', then
+        # recombined exactly as arasr_loss (models/ar_asr.py:241-271).
+        # Every criteria reduction is sum(num)/max(sum(den), 1), so
+        # num_local = criterion * max(den_local, 1) recombines exactly.
+        def gsum(v):
+            return jax.lax.psum(v, axis)
+
+        def combine(value, den_local):
+            num = value * jnp.maximum(den_local, 1.0)
+            return gsum(num) / jnp.maximum(gsum(den_local), 1.0)
+
+        ce_den = jnp.sum((tl_share - 1 > 0).astype(jnp.float32))
+        ce = combine(criteria.cross_entropy(
+            logits, t_share, tl_share, label_smoothing=c.label_smoothing),
+            ce_den)
+        acc_den = jnp.sum(jnp.maximum(tl_share - 1, 0)).astype(jnp.float32)
+        acc = combine(criteria.accuracy(logits, t_share, tl_share), acc_den)
+        loss = ce
+        metrics = dict(ce_loss=ce, accuracy=acc)
+        if c.ctc_weight > 0.0:
+            ctc_logits = ctc_head.apply({"params": params["ctc_head"]},
+                                        enc_share)
+            ctc_text = t_share[:, 1:]
+            ctc_len = jnp.maximum(tl_share - 2, 0)
+            ctc_den = jnp.sum((ctc_len > 0).astype(jnp.float32))
+            ctc = combine(criteria.ctc_loss(ctc_logits, el_share, ctc_text,
+                                            ctc_len), ctc_den)
+            loss = (1.0 - c.ctc_weight) * loss + c.ctc_weight * ctc
+            metrics["ctc_loss"] = ctc
+        if c.ilm_weight > 0.0:
+            # train=False like the sequential ilm_decode (ar_asr.py:202-210,
+            # which calls self.decode with its train default)
+            zeros = jnp.zeros_like(enc_share)
+            ones_m = jnp.ones((share, 1, T2), bool)
+            ilm_logits, _ = run_decoder(zeros, ones_m, 1, False)
+            ilm = combine(criteria.cross_entropy(
+                ilm_logits, t_share, tl_share,
+                label_smoothing=c.label_smoothing), ce_den)
+            loss = loss + c.ilm_weight * ilm
+            metrics["ilm_loss"] = ilm
+        if need_att and cross_att:
+            att = cross_att[0]
+            X, Y = att.shape[2], att.shape[3]
+            xl = jnp.clip(jnp.maximum(tl_share - 1, 0), max=X)
+            yl = jnp.clip(el_share, max=Y)
+            ag_den = (jnp.sum(xl.astype(jnp.float32) * yl.astype(jnp.float32))
+                      * att.shape[1])
+            ag = combine(criteria.attention_guidance(
+                att, jnp.maximum(tl_share - 1, 0), el_share,
+                sigma=c.att_guid_sigma), ag_den)
+            loss = loss + ag
+            metrics["att_guid_loss"] = ag
+        metrics["loss"] = loss
+
+        # metric averaging weighted by per-replica real batch size, as in
+        # make_arasr_step (train/state.py:107-113)
+        if data_axis is not None:
+            n = jnp.sum((text_len > 0).astype(jnp.float32))
+            total = jax.lax.psum(n, data_axis)
+            metrics = {k: jax.lax.psum(v * n, data_axis) / total
+                       for k, v in metrics.items()}
+
+        new_mut = {}
+        if new_fr:
+            new_mut["norm_stats"] = {"frontend": new_fr["norm_stats"]}
+        if new_pn:
+            new_mut["batch_stats"] = {"enc_prenet": new_pn["batch_stats"]}
+        return loss, metrics, new_mut
+
+    def regroup(params):
+        """ARASRNet tree -> pipeline layout (stack encoder layer subtrees)."""
+        enc_p = params["encoder"]
+        out = {"enc_prenet": params["enc_prenet"],
+               "dec_emb": params["dec_emb"],
+               "decoder": params["decoder"],
+               "postnet": params["postnet"],
+               "stacked": stack_layer_params(
+                   [enc_p[f"layer_{i}"] for i in range(L)])}
+        if "layernorm" in enc_p:
+            out["layernorm"] = enc_p["layernorm"]
+        if "posenc" in enc_p:
+            out["posenc"] = enc_p["posenc"]
+        if "ctc_head" in params:
+            out["ctc_head"] = params["ctc_head"]
+        return out
+
+    def param_specs_of(p):
+        return {
+            k: (jax.tree_util.tree_map(
+                lambda l: P(*((axis,) + (None,) * (l.ndim - 1))), v)
+                if k == "stacked"
+                else jax.tree_util.tree_map(lambda l: P(), v))
+            for k, v in p.items()}
+
+    bspec = P(data_axis) if data_axis else P()
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        epoch = batch.get("epoch", jnp.zeros((), jnp.int32))
+        group_ids = batch.get("group_ids")
+        fn_cfg = getattr(c, "feat_norm", None)
+        if group_ids is None and fn_cfg is not None \
+                and fn_cfg.norm_type == "group":
+            group_ids = batch.get("spk_ids")
+        # group_ids may be None — a None operand is a leafless pytree, so
+        # its bspec spec is a valid tree prefix and the frontend sees the
+        # same None the sequential step would (train/state.py:70-74)
+
+        def loss_fn(params):
+            grouped = regroup(params)
+            mut_spec = jax.tree_util.tree_map(lambda _: P(), state.mutables)
+            smapped = jax.shard_map(
+                forward, mesh=mesh,
+                in_specs=(param_specs_of(grouped), mut_spec, bspec, bspec,
+                          bspec, bspec, bspec, P(), P()),
+                out_specs=(P(), P(), P()), check_vma=False)
+            loss, metrics, new_mut = smapped(
+                grouped, state.mutables, batch["feat"], batch["feat_len"],
+                batch["text"], batch["text_len"], group_ids, epoch, rng)
+            return loss, (metrics, new_mut)
+
+        if train:
+            grads, (metrics, new_mut) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(state.step + 1, params, new_opt,
+                               {**state.mutables, **new_mut})
+        else:
+            _, (metrics, _) = loss_fn(state.params)
         return state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())

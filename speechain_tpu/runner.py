@@ -458,22 +458,34 @@ def train_main(cfg: Dict, args):
         # encoder layer stack is stage-split over 'pipe'; microbatch count
         # from the mesh spec ('micro', default one per stage) sets the
         # GPipe gradient-accumulation window
-        if family != "lm" or multi_domain:
+        if family not in ("lm", "asr") or multi_domain:
             raise ValueError(
-                "--mesh pipe>1 currently pipelines the lm family "
+                "--mesh pipe>1 pipelines the lm and asr families "
                 f"(got {family}{' multi-domain' if multi_domain else ''}); "
                 "use model=/seq= axes for the other families")
         if n_model > 1 or n_seq > 1:
             raise ValueError("pipe cannot be combined with model/seq yet")
-        from speechain_tpu.parallel.pipeline import make_lm_pipeline_step
-        ls = float((cfg["train_cfg"]["model"].get("model_conf", {}) or {})
-                   .get("customize_conf", {}).get("label_smoothing", 0.0))
         n_micro = mesh_conf["micro"] or None
-        jtrain = make_lm_pipeline_step(
-            net, tx, mesh, n_micro=n_micro, label_smoothing=ls, train=True)
-        jvalid = make_lm_pipeline_step(
-            net, tx, mesh, n_micro=n_micro, label_smoothing=ls,
-            train=False, donate_state=False)
+        if family == "lm":
+            from speechain_tpu.parallel.pipeline import make_lm_pipeline_step
+            ls = float((cfg["train_cfg"]["model"].get("model_conf", {}) or {})
+                       .get("customize_conf", {}).get("label_smoothing", 0.0))
+            jtrain = make_lm_pipeline_step(
+                net, tx, mesh, n_micro=n_micro, label_smoothing=ls,
+                train=True)
+            jvalid = make_lm_pipeline_step(
+                net, tx, mesh, n_micro=n_micro, label_smoothing=ls,
+                train=False, donate_state=False)
+        else:
+            # ARASR: transformer encoder pipelined, decoder data-parallel
+            # across stages on scattered shares (parallel/pipeline.py)
+            from speechain_tpu.parallel.pipeline import (
+                make_arasr_pipeline_step)
+            jtrain = make_arasr_pipeline_step(
+                net, net_cfg, tx, mesh, n_micro=n_micro, train=True)
+            jvalid = make_arasr_pipeline_step(
+                net, net_cfg, tx, mesh, n_micro=n_micro, train=False,
+                donate_state=False)
     elif multi_domain:
         from speechain_tpu.train.state import (make_multi_domain_arasr_step,
                                                make_multi_domain_artts_step)

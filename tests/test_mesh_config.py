@@ -145,7 +145,33 @@ def test_runner_trains_lm_pipeline_from_yaml(tmp_path):
 
 
 @pytest.mark.slow
-def test_runner_pipe_rejects_unsupported_family(tmp_path):
+def test_runner_trains_asr_pipeline_from_cli_mesh(tmp_path):
+    """End-to-end: recipe YAML + --mesh data=1,pipe=2,micro=4 trains the
+    encoder-decoder ASR through make_arasr_pipeline_step."""
+    from speechain_tpu import runner
+
+    root = make_dataset(str(tmp_path / "data"), n_train=16, n_valid=8,
+                        n_test=8)
+    exp = str(tmp_path / "exp")
+    cfg_path = str(tmp_path / "exp_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TEMPLATE.format(root=root, epochs=2))
+
+    args = runner.parse_args(
+        ["--config", cfg_path, "--train", "--result_path", exp,
+         "--time_bucket", "1600", "--mesh", "data=1,pipe=2,micro=4"])
+    cfg = runner.merge_config(args)
+    runner.train_main(cfg, args)
+
+    assert os.path.exists(os.path.join(exp, "checkpoint"))
+    log = open(os.path.join(exp, "train.log")).read()
+    assert "pipeline step path" in log and "'pipe': 2" in log
+
+
+@pytest.mark.slow
+def test_runner_pipe_rejects_conformer_encoder(tmp_path):
+    """The conformer BatchNorm law (full-batch moments) cannot be
+    reproduced under microbatched pipelining — the guard must fire."""
     from speechain_tpu import runner
 
     root = make_dataset(str(tmp_path / "data"), n_train=8, n_valid=4,
@@ -153,10 +179,11 @@ def test_runner_pipe_rejects_unsupported_family(tmp_path):
     exp = str(tmp_path / "exp")
     cfg_path = str(tmp_path / "exp_cfg.yaml")
     with open(cfg_path, "w") as f:
-        f.write(CONFIG_TEMPLATE.format(root=root, epochs=1))
+        f.write(CONFIG_TEMPLATE.format(root=root, epochs=1)
+                .replace("type: transformer", "type: conformer"))
     args = runner.parse_args(
         ["--config", cfg_path, "--train", "--result_path", exp,
          "--mesh", "pipe=2"])
     cfg = runner.merge_config(args)
-    with pytest.raises(ValueError, match="pipelines the lm family"):
+    with pytest.raises(AssertionError, match="transformer"):
         runner.train_main(cfg, args)

@@ -157,3 +157,135 @@ def test_lm_pipeline_valid_step_is_pure():
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# real-model pipeline: ARASR (transformer encoder) stage-split over 'pipe'
+# ---------------------------------------------------------------------------
+
+def _asr_and_batch(num_layers=4, B=8):
+    from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
+    from speechain_tpu.ops.feat_norm import FeatNormConfig
+    from speechain_tpu.ops.frontend import FrontendConfig
+
+    D = 32
+    cfg = ARASRConfig(
+        vocab_size=20,
+        frontend=FrontendConfig(n_mels=20, sr=8000, win_length=0.02,
+                                hop_length=0.01),
+        feat_norm=FeatNormConfig(feat_dim=20), specaug=None,
+        enc_prenet=dict(conv_dims=[16], lnr_dims=D),
+        encoder=dict(d_model=D, num_heads=4, num_layers=num_layers,
+                     fdfwd_dim=64, att_dropout=0.0, fdfwd_dropout=0.0,
+                     res_dropout=0.0, posenc_dropout=0.0),
+        dec_emb=dict(embedding_dim=D),
+        decoder=dict(d_model=D, num_heads=4, num_layers=1, fdfwd_dim=64,
+                     att_dropout=0.0, fdfwd_dropout=0.0, res_dropout=0.0,
+                     posenc_dropout=0.0),
+        ctc_weight=0.3, ilm_weight=0.1, att_guid_sigma=0.2)
+    net = ARASRNet(cfg=cfg)
+    k = jax.random.PRNGKey(3)
+    batch = dict(
+        feat=jax.random.normal(k, (B, 8000, 1)) * 0.1,
+        feat_len=jnp.array([8000, 7000, 8000, 6500, 8000, 8000, 5000,
+                            8000][:B], jnp.int32),
+        text=jax.random.randint(k, (B, 6), 1, 19),
+        text_len=jnp.array([6, 6, 5, 6, 4, 6, 6, 3][:B], jnp.int32))
+    variables = net.init({"params": RNG, "dropout": RNG, "specaug": RNG},
+                         batch["feat"], batch["feat_len"], batch["text"],
+                         batch["text_len"], train=False)
+    return net, cfg, variables, batch
+
+
+@pytest.mark.parametrize("mesh_shape,n_micro", [
+    ((1, 4), None),     # pure 4-stage pipeline
+    ((1, 4), 8),        # 2-wide GPipe grad-accumulation window
+    ((2, 2), None),     # dp2 x pipe2
+])
+def test_asr_pipeline_step_matches_sequential(mesh_shape, n_micro):
+    """The encoder-decoder flagship under 'pipe': encoder pipelined,
+    decoder+losses data-parallel across stages on scattered shares; every
+    loss component (CE + CTC + ILM + attention guidance) and the running
+    feat-norm stats must match the sequential step, and 3 optimizer steps
+    must land on the same params at 1e-6 (dropout off)."""
+    import optax
+
+    from speechain_tpu.parallel.mesh import (make_mesh,
+                                             train_step_under_mesh)
+    from speechain_tpu.parallel.pipeline import make_arasr_pipeline_step
+    from speechain_tpu.train.state import init_train_state, make_arasr_step
+
+    n_data, n_pipe = mesh_shape
+    net, cfg, variables, batch = _asr_and_batch()
+    tx = optax.sgd(1e-2)
+
+    seq_state = init_train_state(variables, tx)
+    if n_data > 1:
+        # the dp x pipe mesh must reproduce the dp shard_map path (same
+        # per-data-shard loss denominators and sentence-count metric
+        # weighting, train/state.py:107-113), not the single-device step
+        jseq = train_step_under_mesh(
+            make_arasr_step(net, cfg, tx, axis_name="data", train=True),
+            make_mesh(n_data=n_data), donate_state=False)
+    else:
+        jseq = jax.jit(make_arasr_step(net, cfg, tx, axis_name=None,
+                                       train=True))
+    pipe_state = init_train_state(variables, tx)
+    mesh = make_mesh(n_data=n_data, n_pipe=n_pipe)
+    jpipe = make_arasr_pipeline_step(net, cfg, tx, mesh, n_micro=n_micro,
+                                     donate_state=False)
+
+    for i in range(3):
+        rng = jax.random.fold_in(RNG, 100 + i)
+        seq_state, m_seq = jseq(seq_state, batch, rng)
+        pipe_state, m_pipe = jpipe(pipe_state, batch, rng)
+        for mk in ("loss", "ce_loss", "ctc_loss", "ilm_loss",
+                   "att_guid_loss", "accuracy"):
+            assert abs(float(m_seq[mk]) - float(m_pipe[mk])) < 1e-4, (
+                i, mk, float(m_seq[mk]), float(m_pipe[mk]))
+    for a, b in zip(jax.tree_util.tree_leaves(seq_state.params),
+                    jax.tree_util.tree_leaves(pipe_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # running feat-norm stats advanced identically (numeric leaves only)
+    for a, b in zip(jax.tree_util.tree_leaves(seq_state.mutables),
+                    jax.tree_util.tree_leaves(pipe_state.mutables)):
+        if jnp.issubdtype(a.dtype, jnp.bool_):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
+def test_asr_pipeline_valid_step_is_pure():
+    import optax
+
+    from speechain_tpu.parallel.mesh import make_mesh
+    from speechain_tpu.parallel.pipeline import make_arasr_pipeline_step
+    from speechain_tpu.train.state import init_train_state
+
+    net, cfg, variables, batch = _asr_and_batch()
+    tx = optax.sgd(1e-2)
+    state = init_train_state(variables, tx)
+    mesh = make_mesh(n_data=2, n_pipe=4)
+    jvalid = make_arasr_pipeline_step(net, cfg, tx, mesh, train=False,
+                                      donate_state=False)
+    s2, metrics = jvalid(state, batch, RNG)
+    assert np.isfinite(float(metrics["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_asr_pipeline_rejects_conformer():
+    import optax
+
+    from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
+    from speechain_tpu.parallel.mesh import make_mesh
+    from speechain_tpu.parallel.pipeline import make_arasr_pipeline_step
+
+    cfg = ARASRConfig(vocab_size=20, encoder_type="conformer",
+                      encoder=dict(d_model=32, num_heads=4, num_layers=4))
+    net = ARASRNet(cfg=cfg)
+    mesh = make_mesh(n_data=1, n_pipe=4)
+    with pytest.raises(AssertionError, match="transformer"):
+        make_arasr_pipeline_step(net, cfg, optax.sgd(1e-2), mesh)
