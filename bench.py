@@ -118,11 +118,15 @@ def main():
                         conv_batchnorm=True, conv_activation="LeakyReLU",
                         lnr_dims=D),
         encoder_type="conformer",
+        # BENCH_REMAT=1: per-layer backward rematerialization — the A/B
+        # lever for the B=256 working-set regression (docs/BENCHMARKS.md)
         encoder=dict(d_model=D, num_heads=4, num_layers=12, fdfwd_dim=4 * D,
-                     fdfwd_activation="GELU"),
+                     fdfwd_activation="GELU",
+                     remat=os.environ.get("BENCH_REMAT", "") == "1"),
         dec_emb=dict(embedding_dim=D),
         decoder=dict(d_model=D, num_heads=4, num_layers=6, fdfwd_dim=4 * D,
-                     fdfwd_activation="GELU"),
+                     fdfwd_activation="GELU",
+                     remat=os.environ.get("BENCH_REMAT", "") == "1"),
         ctc_weight=0.3,
         label_smoothing=0.1,
         dtype=jnp.bfloat16,

@@ -282,11 +282,17 @@ class ConformerEncoder(nn.Module):
     scale_dp_by_head: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src: Array, mask: Optional[Array], *,
                  train: bool = False, return_attmat: bool = False,
                  return_hidden: bool = False):
+        # Rematerialize each layer in the backward pass (jax.checkpoint via
+        # nn.remat): trades recompute FLOPs for live-activation HBM — the
+        # lever for large-batch working-set spills. Only engages when the
+        # caller doesn't need per-layer extras (those would defeat it).
+        use_remat = self.remat and not (return_attmat or return_hidden)
         src, posenc = RelPositionalEncoding(
             d_model=self.d_model, dropout=self.posenc_dropout,
             max_len=self.posenc_maxlen, name="posenc",
@@ -294,7 +300,7 @@ class ConformerEncoder(nn.Module):
 
         attmats, hiddens = [], []
         for i in range(self.num_layers):
-            src, attmat = ConformerEncoderLayer(
+            layer = ConformerEncoderLayer(
                 d_model=self.d_model, num_heads=self.num_heads,
                 att_dropout=self.att_dropout,
                 depthwise_kernel_size=self.depthwise_kernel_size,
@@ -306,7 +312,16 @@ class ConformerEncoder(nn.Module):
                 layernorm_first=self.layernorm_first,
                 scale_dp_by_head=self.scale_dp_by_head, dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name, name=f"layer_{i}",
-            )(src, mask, posenc, train=train, return_attmat=return_attmat)
+            )
+            if use_remat:
+                src = nn.remat(
+                    lambda mdl, s, m, p: mdl(
+                        s, m, p, train=train, return_attmat=False)[0],
+                )(layer, src, mask, posenc)
+                attmat = None
+            else:
+                src, attmat = layer(src, mask, posenc, train=train,
+                                    return_attmat=return_attmat)
             if return_attmat:
                 attmats.append(attmat)
             if return_hidden:

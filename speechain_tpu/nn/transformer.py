@@ -122,6 +122,7 @@ class TransformerEncoder(nn.Module):
     uni_direction: bool = False
     layernorm_first: bool = True
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src: Array, mask: Optional[Array], *,
@@ -155,9 +156,13 @@ class TransformerEncoder(nn.Module):
         # flag keeps the layers eligible for the fused Pallas attention
         causal = bool(self.uni_direction and not decode)
 
+        # see ConformerEncoder.remat — backward-pass rematerialization;
+        # per-layer extras or cached decode modes opt out
+        use_remat = self.remat and not (return_attmat or return_hidden
+                                        or decode or prime)
         attmats, hiddens = [], []
         for i in range(self.num_layers):
-            src, attmat = TransformerEncoderLayer(
+            layer = TransformerEncoderLayer(
                 d_model=self.d_model, num_heads=self.num_heads,
                 scale_dp_by_head=self.scale_dp_by_head,
                 att_dropout=self.att_dropout, fdfwd_dim=self.fdfwd_dim,
@@ -167,9 +172,19 @@ class TransformerEncoder(nn.Module):
                 res_dropout=self.res_dropout,
                 layernorm_first=self.layernorm_first, dtype=self.dtype,
                 name=f"layer_{i}",
-            )(src, mask if not decode else None, train=train,
-              return_attmat=return_attmat, decode=decode,
-              cache_capacity=cache_capacity, prime=prime, causal=causal)
+            )
+            if use_remat:
+                src = nn.remat(
+                    lambda mdl, s, m: mdl(
+                        s, m, train=train, return_attmat=False,
+                        causal=causal)[0],
+                )(layer, src, mask)
+                attmat = None
+            else:
+                src, attmat = layer(
+                    src, mask if not decode else None, train=train,
+                    return_attmat=return_attmat, decode=decode,
+                    cache_capacity=cache_capacity, prime=prime, causal=causal)
             if return_attmat:
                 attmats.append(attmat)
             if return_hidden:
@@ -282,6 +297,7 @@ class TransformerDecoder(nn.Module):
     res_dropout: float = 0.1
     layernorm_first: bool = True
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, tgt: Array, enc_feat: Optional[Array],
@@ -320,9 +336,12 @@ class TransformerDecoder(nn.Module):
         # the reference's combined mask (decoder.py:258-265)
         causal = not decode
 
+        # see ConformerEncoder.remat — backward-pass rematerialization
+        use_remat = self.remat and not (return_attmat or return_hidden
+                                        or decode or prime)
         self_attmats, cross_attmats, hiddens = [], [], []
         for i in range(self.num_layers):
-            tgt, sa, ca = TransformerDecoderLayer(
+            layer = TransformerDecoderLayer(
                 d_model=self.d_model, num_heads=self.num_heads,
                 scale_dp_by_head=self.scale_dp_by_head,
                 att_dropout=self.att_dropout, fdfwd_dim=self.fdfwd_dim,
@@ -332,9 +351,19 @@ class TransformerDecoder(nn.Module):
                 res_dropout=self.res_dropout,
                 layernorm_first=self.layernorm_first, dtype=self.dtype,
                 name=f"layer_{i}",
-            )(tgt, enc_feat, tgt_mask, src_mask, train=train, decode=decode,
-              cache_capacity=cache_capacity, prime=prime,
-              return_attmat=return_attmat, causal=causal)
+            )
+            if use_remat:
+                tgt = nn.remat(
+                    lambda mdl, t, ef, tm, sm: mdl(
+                        t, ef, tm, sm, train=train, return_attmat=False,
+                        causal=causal)[0],
+                )(layer, tgt, enc_feat, tgt_mask, src_mask)
+                sa = ca = None
+            else:
+                tgt, sa, ca = layer(
+                    tgt, enc_feat, tgt_mask, src_mask, train=train,
+                    decode=decode, cache_capacity=cache_capacity, prime=prime,
+                    return_attmat=return_attmat, causal=causal)
             if return_attmat:
                 self_attmats.append(sa)
                 cross_attmats.append(ca)
