@@ -189,12 +189,17 @@ class MultiHeadedAttention(nn.Module):
                 idx_var.value = index + q.shape[1]
             else:
                 kh, vh = cap_k.value, cap_v.value
-            # only positions <= index are attendable
-            Tk = kh.shape[2]
-            pos = jax.lax.broadcasted_iota(jnp.int32, (1, Tk), 1)
-            step_mask = pos <= index  # (1, Tk)
-            mask = step_mask[:, None] if mask is None else (
-                mask & step_mask[:, None])
+            # per-row causal visibility: query row i sits at position
+            # index + i, so it may attend key positions <= index + i. For
+            # Tq = 1 this reduces to the classic `pos <= index` single-step
+            # mask; Tq > 1 is the CHUNKED decode used by streaming ASR
+            # (infer/streaming.py) — one cache write per chunk, intra-chunk
+            # causality enforced here
+            Tk, Tq = kh.shape[2], qh.shape[2]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, Tq, Tk), 2)
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, Tq, Tk), 1)
+            step_mask = pos <= index + row  # (1, Tq, Tk)
+            mask = step_mask if mask is None else (mask & step_mask)
 
         scale = (1.0 / math.sqrt(self.head_size) if self.scale_dp_by_head
                  else 1.0 / math.sqrt(self.d_model))

@@ -50,7 +50,8 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, src: Array, mask: Optional[Array], *,
                  train: bool = False, return_attmat: bool = True,
                  decode: bool = False, cache_capacity: Optional[int] = None,
-                 prime: bool = False, causal: bool = False):
+                 prime: bool = False, causal: bool = False,
+                 decode_index: Optional[Array] = None):
         ln_att = LayerNorm(epsilon=1e-6, name="att_layernorm")
         ln_ff = LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
         drop = nn.Dropout(self.res_dropout, deterministic=not train)
@@ -62,7 +63,7 @@ class TransformerEncoderLayer(nn.Module):
             dtype=self.dtype, name="multihead_att",
         )(x, x, x, mask, train=train, return_attmat=return_attmat,
           decode=decode, cache_capacity=cache_capacity, prime=prime,
-          causal=causal)
+          causal=causal, decode_index=decode_index)
         att_out = drop(att_hidden) + src
         if not self.layernorm_first:
             att_out = ln_att(att_out)
@@ -128,7 +129,8 @@ class TransformerEncoder(nn.Module):
     def __call__(self, src: Array, mask: Optional[Array], *,
                  train: bool = False, return_attmat: bool = False,
                  return_hidden: bool = False, decode: bool = False,
-                 cache_capacity: Optional[int] = None, prime: bool = False):
+                 cache_capacity: Optional[int] = None, prime: bool = False,
+                 decode_position: Optional[Array] = None):
         posenc = PositionalEncoding(
             d_model=self.d_model, posenc_type=self.posenc_type,
             emb_layernorm=self.emb_layernorm, emb_scale=self.emb_scale,
@@ -137,16 +139,22 @@ class TransformerEncoder(nn.Module):
             name="posenc",
         )
         if decode:
-            # single-step cached mode (LM decoding in beam search): position
-            # tracked in the cache collection like TransformerDecoder
+            # cached mode (LM decoding in beam search, streaming ASR
+            # encoder): position tracked in the cache collection like
+            # TransformerDecoder, or driven externally via decode_position
+            # (streaming passes a chunk of rows but advances only by the
+            # VALID row count, so it owns the position)
             assert self.uni_direction, "decode mode implies causal encoder"
             pos_var = self.variable("cache", "position",
                                     lambda: jnp.zeros((), jnp.int32))
             if prime:
                 src = posenc(src, train=train)
             else:
-                src = posenc(src, train=train, offset=pos_var.value)
-                pos_var.value = pos_var.value + src.shape[1]
+                pos_idx = (pos_var.value if decode_position is None
+                           else decode_position)
+                src = posenc(src, train=train, offset=pos_idx)
+                if decode_position is None:
+                    pos_var.value = pos_var.value + src.shape[1]
         else:
             src = posenc(src, train=train)
 
@@ -184,7 +192,8 @@ class TransformerEncoder(nn.Module):
                 src, attmat = layer(
                     src, mask if not decode else None, train=train,
                     return_attmat=return_attmat, decode=decode,
-                    cache_capacity=cache_capacity, prime=prime, causal=causal)
+                    cache_capacity=cache_capacity, prime=prime, causal=causal,
+                    decode_index=decode_position if decode else None)
             if return_attmat:
                 attmats.append(attmat)
             if return_hidden:

@@ -1,0 +1,176 @@
+"""Streaming ASR (infer/streaming.py): the chunked pipeline must emit
+exactly the tokens the offline model produces on the concatenated wave —
+frontend framing, feat-norm, prenet ring buffer, chunked KV-cache encoder,
+and CTC greedy collapse all included."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+RNG = jax.random.PRNGKey(11)
+D = 32
+
+
+def _causal_asr(feat_norm=True):
+    from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
+    from speechain_tpu.ops.feat_norm import FeatNormConfig
+    from speechain_tpu.ops.frontend import FrontendConfig
+
+    cfg = ARASRConfig(
+        vocab_size=16,
+        frontend=FrontendConfig(n_mels=20, sr=8000, win_length=0.02,
+                                hop_length=0.01, preemphasis=0.97),
+        feat_norm=FeatNormConfig(feat_dim=20) if feat_norm else None,
+        enc_prenet=dict(conv_dims=[16, 16], conv_kernel=3, conv_stride=2,
+                        lnr_dims=D),
+        encoder_type="transformer",
+        encoder=dict(d_model=D, num_heads=4, num_layers=2, fdfwd_dim=64,
+                     uni_direction=True),
+        dec_emb=dict(embedding_dim=D),
+        decoder=dict(d_model=D, num_heads=4, num_layers=1, fdfwd_dim=64),
+        ctc_weight=0.5)
+    return ARASRNet(cfg=cfg), cfg
+
+
+def _init(net, n_wave=2750):
+    B = 2
+    wave = jax.random.normal(RNG, (B, n_wave)) * 0.2
+    wave_len = jnp.full((B,), n_wave, jnp.int32)
+    text = jnp.array([[1, 3, 4, 2], [1, 5, 6, 2]], jnp.int32)
+    text_len = jnp.full((B,), 4, jnp.int32)
+    variables = net.init({"params": RNG, "dropout": RNG, "specaug": RNG},
+                         wave[..., None], wave_len, text, text_len,
+                         train=False)
+    return wave, wave_len, variables
+
+
+def _stream_tokens(stream, wave, S, tail_len):
+    """Drive the stream over `wave` and collect emitted tokens per row."""
+    B, N = wave.shape
+    n_full = (N - tail_len) // S
+    state = stream.reset(B)
+    out = [[] for _ in range(B)]
+
+    def collect(ids, emit):
+        ids, emit = np.asarray(ids), np.asarray(emit)
+        for b in range(B):
+            out[b].extend(ids[b][emit[b]].tolist())
+
+    state, ids, emit = stream.start(state, wave[:, :S])
+    collect(ids, emit)
+    for c in range(1, n_full):
+        state, ids, emit = stream.step(state, wave[:, c * S:(c + 1) * S])
+        collect(ids, emit)
+    tail = jnp.zeros((B, S), wave.dtype)
+    if tail_len:
+        tail = tail.at[:, :tail_len].set(wave[:, n_full * S:])
+    state, ids, emit = stream.finish(state, tail, tail_len)
+    collect(ids, emit)
+    return out, state
+
+
+def _offline_tokens(net, variables, wave, wave_len):
+    from speechain_tpu.infer.streaming import ctc_greedy_offline
+    ids, emit = ctc_greedy_offline(net, variables, wave[..., None], wave_len)
+    return [ids[b][emit[b]].tolist() for b in range(ids.shape[0])]
+
+
+@pytest.mark.parametrize("tail_len", [350, 0])
+def test_streaming_matches_offline(tail_len):
+    from speechain_tpu.infer.streaming import StreamingASR
+
+    net, cfg = _causal_asr()
+    n_wave = 2400 + tail_len
+    wave, wave_len, variables = _init(net, n_wave)
+    stream = StreamingASR(net, variables, chunk_samples=800, max_frames=256)
+
+    got, state = _stream_tokens(stream, wave, 800, tail_len)
+    want = _offline_tokens(net, variables, wave, wave_len)
+    assert got == want, (got, want)
+
+    # the stream saw exactly the offline encoder frame count
+    enc_feat, enc_len, _, _ = net.apply(
+        variables, wave[..., None], wave_len, train=False,
+        method=lambda m, f, fl, train: m.encode(f, fl, train=train))
+    assert int(state.enc_frames) == int(np.asarray(enc_len)[0])
+
+
+def test_streaming_chunk_size_invariance():
+    """Different chunkings of the same wave emit the same tokens."""
+    from speechain_tpu.infer.streaming import StreamingASR
+
+    net, cfg = _causal_asr(feat_norm=False)
+    wave, wave_len, variables = _init(net, n_wave=3200)
+
+    tok_a, _ = _stream_tokens(
+        StreamingASR(net, variables, chunk_samples=800, max_frames=256),
+        wave, 800, 0)
+    tok_b, _ = _stream_tokens(
+        StreamingASR(net, variables, chunk_samples=1600, max_frames=256),
+        wave, 1600, 0)
+    assert tok_a == tok_b
+    assert tok_a == _offline_tokens(net, variables, wave, wave_len)
+
+
+def test_streaming_rejects_unstreamable_configs():
+    from speechain_tpu.infer.streaming import StreamingASR
+    from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
+    from speechain_tpu.ops.frontend import FrontendConfig
+
+    net, _ = _causal_asr()
+    wave, wave_len, variables = _init(net)
+
+    # non-causal encoder
+    bad = ARASRNet(cfg=net.cfg.replace(
+        encoder=dict(d_model=D, num_heads=4, num_layers=2, fdfwd_dim=64)))
+    with pytest.raises(ValueError, match="uni_direction"):
+        StreamingASR(bad, variables, chunk_samples=800)
+    # conformer
+    bad = ARASRNet(cfg=net.cfg.replace(encoder_type="conformer"))
+    with pytest.raises(ValueError, match="causal"):
+        StreamingASR(bad, variables, chunk_samples=800)
+    # no CTC head
+    bad = ARASRNet(cfg=net.cfg.replace(ctc_weight=0.0))
+    with pytest.raises(ValueError, match="ctc_weight"):
+        StreamingASR(bad, variables, chunk_samples=800)
+    # chunk not a hop multiple
+    with pytest.raises(ValueError, match="multiple"):
+        StreamingASR(net, variables, chunk_samples=801)
+    # utterance-granularity norm cannot stream
+    from speechain_tpu.ops.feat_norm import FeatNormConfig
+    bad = ARASRNet(cfg=net.cfg.replace(
+        feat_norm=FeatNormConfig(feat_dim=20, norm_type="utterance")))
+    with pytest.raises(ValueError, match="per-frame"):
+        StreamingASR(bad, variables, chunk_samples=800)
+
+
+def test_chunked_decode_equals_full_causal_encoder():
+    """The generalized per-row decode mask: feeding a causal encoder its
+    input in chunks through the KV cache reproduces the full pass."""
+    from speechain_tpu.nn.transformer import TransformerEncoder
+
+    enc = TransformerEncoder(d_model=D, num_heads=4, num_layers=2,
+                             fdfwd_dim=64, uni_direction=True)
+    B, T = 2, 12
+    x = jax.random.normal(RNG, (B, T, D))
+    variables = enc.init({"params": RNG}, x, None)
+
+    full, *_ = enc.apply(variables, x, None)
+
+    _, primed = enc.apply(variables, x[:, :1], None, decode=True, prime=True,
+                          cache_capacity=T, mutable=["cache"])
+    cache = primed["cache"]
+    outs, pos = [], 0
+    for size in (1, 3, 2, 6):  # mixed chunk sizes
+        (o, *_), cv = enc.apply(
+            {**variables, "cache": cache}, x[:, pos:pos + size], None,
+            decode=True, cache_capacity=T,
+            decode_position=jnp.asarray(pos, jnp.int32), mutable=["cache"])
+        outs.append(o)
+        cache = cv["cache"]
+        pos += size
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, 1)),
+                               np.asarray(full), atol=1e-5)
