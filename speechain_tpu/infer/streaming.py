@@ -167,8 +167,11 @@ class StreamingASR:
             fe.n_freqs, fe.n_mels, fe.sr, fe.fmin, fe.fmax, fe.mel_scale,
             fe.mel_norm))
         stats_tree = variables.get("norm_stats", {})
-        self._norm_stats = (coerce_stats(stats_tree["frontend"]["stats"])
-                            if stats_tree else None)
+        # checkpoint restores may hold numpy leaves; device-put them so the
+        # stats index cleanly under jit (eval group selection gathers)
+        self._norm_stats = (jax.tree_util.tree_map(
+            jnp.asarray, coerce_stats(stats_tree["frontend"]["stats"]))
+            if stats_tree else None)
 
         # one executable per call type; state is donated every call
         self._start = jax.jit(partial(self._call, mode="start"),

@@ -1,0 +1,151 @@
+"""``speechain-stream``: online (chunked) ASR transcription from the CLI.
+
+The user-facing surface of `infer/streaming.py`: load a trained causal ASR
+experiment (``encoder: {uni_direction: true}`` + ``ctc_weight > 0`` in its
+exp_cfg), then transcribe wav files chunk by chunk exactly as a live
+microphone/server stream would — partial hypotheses print as they
+stabilize, and the emitted tokens are exactly what the offline model would
+produce on the whole file (guaranteed by tests/test_streaming.py; verify
+in the field with --selftest).
+
+Usage::
+
+    speechain-stream --config exp_cfg.yaml --result_path exp/... \
+        --wav a.wav b.wav [--chunk_ms 400] [--selftest]
+    speechain-stream ... --wav_scp idx2wav --output idx2text_streamed
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True,
+                   help="the ASR experiment's exp_cfg yaml (causal model)")
+    p.add_argument("--result_path", required=True,
+                   help="experiment dir holding the checkpoint")
+    p.add_argument("--test_model", default="latest")
+    p.add_argument("--wav", nargs="*", default=None, help="wav file(s)")
+    p.add_argument("--wav_scp", default=None, help="idx2wav file")
+    p.add_argument("--output", default=None,
+                   help="write an idx2text file instead of stdout only")
+    p.add_argument("--chunk_ms", type=float, default=400.0,
+                   help="stream chunk size in milliseconds")
+    p.add_argument("--max_frames", type=int, default=4096,
+                   help="encoder KV-cache capacity (max stream length)")
+    p.add_argument("--selftest", action="store_true",
+                   help="also run the model offline on each wav and assert "
+                        "the streamed tokens match exactly")
+    args = p.parse_args(argv)
+    if not args.wav and not args.wav_scp:
+        p.error("need --wav files or --wav_scp")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speechain_tpu import runner as R
+    from speechain_tpu.builders import build_model, build_tokenizer
+    from speechain_tpu.infer.streaming import (StreamingASR,
+                                               ctc_greedy_offline)
+    from speechain_tpu.train.checkpoint import CheckpointManager
+    from speechain_tpu.utils.fileio import (read_data_by_path,
+                                            read_idx2data_file,
+                                            write_idx2data_file)
+
+    cfg = R.merge_config(argparse.Namespace(
+        config=args.config, result_path=args.result_path, test_model=None,
+        **{k: None for k in R.DEFAULTS}))
+    model_cfg = cfg["train_cfg"]["model"]
+    customize = (model_cfg.get("model_conf", {}) or {}).get(
+        "customize_conf", {})
+    tokenizer = build_tokenizer(customize.get("token_type", "char"),
+                                customize.get("token_path"))
+    net, net_cfg, _ = build_model(model_cfg, tokenizer.vocab_size)
+
+    ckpt = CheckpointManager(args.result_path)
+    if args.test_model in (None, "latest"):
+        state, _ = ckpt.restore_train_state(None)
+        variables = {"params": state["params"], **state["mutables"]}
+    else:
+        import orbax.checkpoint as ocp
+        payload = ocp.StandardCheckpointer().restore(
+            os.path.join(args.result_path, "models", args.test_model), None)
+        variables = dict(payload)
+
+    sr = net_cfg.frontend.sr
+    hop = net_cfg.frontend.hop
+    chunk = max(int(args.chunk_ms / 1000.0 * sr) // hop, 1) * hop
+    chunk = max(chunk, net_cfg.frontend.fft)
+    stream = StreamingASR(net, variables, chunk_samples=chunk,
+                          max_frames=args.max_frames)
+
+    if args.wav_scp:
+        wavs = list(read_idx2data_file(args.wav_scp).items())
+    else:
+        wavs = [(os.path.basename(w), w) for w in args.wav]
+
+    results = {}
+    for idx, path in wavs:
+        wave, file_sr = read_data_by_path(path, return_sample_rate=True)
+        wave = np.asarray(wave, np.float32).reshape(-1)
+        if file_sr != sr:
+            print(f"[{idx}] skip: file sr={file_sr} != model sr={sr}",
+                  file=sys.stderr)
+            continue
+        if len(wave) < chunk:
+            # shorter than one chunk: nothing to stream — run offline
+            feat = jnp.asarray(wave, jnp.float32)[None, :, None]
+            flen = jnp.full((1,), len(wave), jnp.int32)
+            oid, oem = ctc_greedy_offline(net, variables, feat, flen)
+            results[idx] = tokenizer.tensor2text(oid[0][oem[0]])
+            print(f"[{idx}] (short file, offline): {results[idx]}",
+                  flush=True)
+            continue
+        toks = []
+        n_full = len(wave) // chunk
+        wave_iter = [wave[c * chunk:(c + 1) * chunk]
+                     for c in range(n_full)]
+        rest = wave[n_full * chunk:]
+        tail = np.zeros(chunk, np.float32)
+        tail[:len(rest)] = rest
+        tail_len = len(rest)
+
+        state = stream.reset(1)
+        for c, piece in enumerate(wave_iter):
+            call = stream.start if c == 0 else stream.step
+            state, ids, emit = call(state, jnp.asarray(piece)[None])
+            new = np.asarray(ids)[0][np.asarray(emit)[0]].tolist()
+            if new:
+                toks.extend(new)
+                print(f"[{idx}] +{(c + 1) * chunk / sr:6.2f}s  "
+                      f"{tokenizer.tensor2text(np.asarray(toks))}",
+                      flush=True)
+        state, ids, emit = stream.finish(state, jnp.asarray(tail)[None],
+                                         tail_len)
+        toks.extend(np.asarray(ids)[0][np.asarray(emit)[0]].tolist())
+        text = tokenizer.tensor2text(np.asarray(toks))
+        results[idx] = text
+        print(f"[{idx}] final: {text}", flush=True)
+
+        if args.selftest:
+            feat = jnp.asarray(wave, jnp.float32)[None, :, None]
+            flen = jnp.full((1,), len(wave), jnp.int32)
+            oid, oem = ctc_greedy_offline(net, variables, feat, flen)
+            offline = oid[0][oem[0]].tolist()
+            if offline != toks:
+                raise SystemExit(
+                    f"[{idx}] SELFTEST FAILED: stream {toks} != "
+                    f"offline {offline}")
+            print(f"[{idx}] selftest OK (stream == offline)", flush=True)
+
+    if args.output:
+        write_idx2data_file(results, args.output)
+        print(f"wrote {len(results)} transcripts to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

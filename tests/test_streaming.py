@@ -174,3 +174,49 @@ def test_chunked_decode_equals_full_causal_encoder():
         pos += size
     np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, 1)),
                                np.asarray(full), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_stream_cli_end_to_end(tmp_path):
+    """Full user path: runner-train a causal ASR from a recipe YAML, then
+    transcribe test wavs with speechain-stream --selftest (which asserts
+    stream == offline on every file) and write an idx2text."""
+    import os
+
+    from speechain_tpu import runner
+    from speechain_tpu.pyscripts import stream_cli
+    from tests.test_runner import CONFIG_TEMPLATE, make_dataset
+
+    cfg_text = CONFIG_TEMPLATE.format(
+        root=make_dataset(str(tmp_path / "data"), n_train=16, n_valid=8,
+                          n_test=4),
+        epochs=4,
+    ).replace(
+        "        label_smoothing: 0.0",
+        "        label_smoothing: 0.0\n        ctc_weight: 0.5",
+    ).replace(
+        "          d_model: 48\n          num_heads: 4\n"
+        "          num_layers: 2",
+        "          uni_direction: true\n"
+        "          d_model: 48\n          num_heads: 4\n"
+        "          num_layers: 2",
+    )
+    assert "uni_direction" in cfg_text and "ctc_weight" in cfg_text
+    exp = str(tmp_path / "exp")
+    cfg_path = str(tmp_path / "exp_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+
+    args = runner.parse_args(
+        ["--config", cfg_path, "--train", "--result_path", exp,
+         "--time_bucket", "1600"])
+    runner.train_main(runner.merge_config(args), args)
+
+    wav_scp = str(tmp_path / "data" / "test" / "idx2wav")
+    out = str(tmp_path / "idx2text_streamed")
+    stream_cli.main(["--config", cfg_path, "--result_path", exp,
+                     "--wav_scp", wav_scp, "--output", out,
+                     "--chunk_ms", "300", "--max_frames", "512",
+                     "--selftest"])
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 4  # every test wav transcribed (selftest passed)
