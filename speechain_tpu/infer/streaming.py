@@ -95,22 +95,10 @@ def _conv_time_geometry(prenet_conf: Dict[str, Any]) -> Tuple[int, int, int]:
     return n, S_eff, R
 
 
-class StreamingASR:
-    """Exact streaming CTC-greedy recognizer over a causal ARASR model.
-
-    Usage::
-
-        stream = StreamingASR(net, variables, chunk_samples=4000,
-                              max_frames=2048)
-        state = stream.reset(batch_size)
-        state, toks, emit = stream.start(state, first_chunk)   # (B, S) wave
-        state, toks, emit = stream.step(state, next_chunk)     # ... repeat
-        state, toks, emit = stream.finish(state, tail, tail_len)
-
-    Each call returns ``toks (B, K) int32`` and ``emit (B, K) bool``; the
-    emitted tokens (in order, where ``emit`` is True) are exactly the CTC
-    greedy collapse of the offline model on the concatenated waveform.
-    """
+class _StreamBase:
+    """Shared geometry/validation/helpers of the streaming recognizers:
+    the lockstep `StreamingASR` and the continuous-batching `StreamPool`
+    (infer/stream_pool.py)."""
 
     def __init__(self, net, variables: Dict[str, Any], *,
                  chunk_samples: int, max_frames: int = 4096):
@@ -173,6 +161,103 @@ class StreamingASR:
             jnp.asarray, coerce_stats(stats_tree["frontend"]["stats"]))
             if stats_tree else None)
 
+    # ------------------------------------------------------------ plumbing
+
+    def _prime_cache(self, B: int) -> Any:
+        dummy = jnp.zeros(
+            (B, self.mout, self._prenet_out_dim()), self.cfg.dtype)
+        _, prime_vars = self.net.apply(
+            self.variables, dummy,
+            method=lambda m, x: m.encoder(
+                x, None, decode=True, prime=True, cache_capacity=self.cap),
+            mutable=["cache"])
+        return prime_vars["cache"]
+
+    def _prenet_out_dim(self) -> int:
+        conf = self.cfg.enc_prenet
+        lnr = conf.get("lnr_dims")
+        if lnr is not None:
+            dims = lnr if isinstance(lnr, (list, tuple)) else [lnr]
+            return dims[-1]
+        dims = conf.get("conv_dims", (64, 64))
+        dims = dims if isinstance(dims, (list, tuple)) else [dims]
+        fdim = self.n_mels
+        k = conf.get("conv_kernel", 3)
+        kf = k[1] if isinstance(k, (list, tuple)) else k
+        s = conf.get("conv_stride", 2)
+        sf = s[1] if isinstance(s, (list, tuple)) else s
+        for _ in range(len(dims)):
+            fdim = (fdim - kf) // sf + 1
+        return fdim * dims[-1]
+
+    def _rel0(self) -> int:
+        """Static offset of the next frame's window inside
+        [wave_tail | chunk]. After c chunks the stream has emitted
+        F_c = n0 + (c-1)*m frames; the next frame F_c has window start
+        F_c*hop - p (real coordinates; the left reflect pad is virtual
+        negative indices), and the concat begins at real sample
+        c*S - n_fft. S % hop == 0 makes the difference constant in c."""
+        fe = self.cfg.frontend
+        n_fft, hop, p = fe.fft, fe.hop, fe.fft // 2
+        return self.n0 * hop - p - (self.S - n_fft)
+
+    def _frames_of(self, cat: Array, n_frames: int) -> Array:
+        """Static strided framing: (B, L) -> (B, n_frames, n_fft), frame j
+        covering cat[:, j*hop : j*hop + n_fft] — the same windows the
+        offline strided conv consumes (frontend.py:252-266)."""
+        fe = self.cfg.frontend
+        idx = (jnp.arange(n_frames) * fe.hop)[:, None] + \
+            jnp.arange(fe.fft)[None, :]
+        return cat[:, idx]
+
+    def _logmel(self, frames: Array) -> Array:
+        """Windowed-DFT matmul + power + mel + log on pre-cut frames —
+        identical math to _frontend_impl steps 3-5 (frontend.py:252-293),
+        with the same fp32 HIGHEST-precision contractions."""
+        fe = self.cfg.frontend
+        prec = _precision(fe)
+        spec = jnp.einsum("btn,fn->btf", frames, self._basis,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+        nf = fe.n_freqs
+        re, im = spec[..., :nf], spec[..., nf:]
+        power = re * re + im * im
+        if fe.mag_spec:
+            power = jnp.sqrt(power)
+        feat = jnp.einsum("btf,fm->btm", power, self._melfb,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+        if fe.logging:
+            feat = jnp.log(jnp.clip(feat, min=fe.clamp))
+            if fe.log_base is not None:
+                feat = feat / math.log(fe.log_base)
+        return feat
+
+
+class StreamingASR(_StreamBase):
+    """Exact streaming CTC-greedy recognizer over a causal ARASR model.
+
+    Usage::
+
+        stream = StreamingASR(net, variables, chunk_samples=4000,
+                              max_frames=2048)
+        state = stream.reset(batch_size)
+        state, toks, emit = stream.start(state, first_chunk)   # (B, S) wave
+        state, toks, emit = stream.step(state, next_chunk)     # ... repeat
+        state, toks, emit = stream.finish(state, tail, tail_len)
+
+    Each call returns ``toks (B, K) int32`` and ``emit (B, K) bool``; the
+    emitted tokens (in order, where ``emit`` is True) are exactly the CTC
+    greedy collapse of the offline model on the concatenated waveform.
+    All rows of a batch advance in lockstep (same chunk cadence, started
+    and finished together); for slot-multiplexed serving of concurrent
+    independent streams use infer/stream_pool.py.
+    """
+
+    def __init__(self, net, variables: Dict[str, Any], *,
+                 chunk_samples: int, max_frames: int = 4096):
+        super().__init__(net, variables, chunk_samples=chunk_samples,
+                         max_frames=max_frames)
         # one executable per call type; state is donated every call
         self._start = jax.jit(partial(self._call, mode="start"),
                               donate_argnums=(0,))
@@ -210,35 +295,6 @@ class StreamingASR:
         ``chunk_samples`` and ``tail_len`` (scalar int) gives the real
         count (0 is fine). Materializes the right reflect pad."""
         return self._finish(state, tail, jnp.asarray(tail_len, jnp.int32))
-
-    # ------------------------------------------------------------ plumbing
-
-    def _prime_cache(self, B: int) -> Any:
-        dummy = jnp.zeros(
-            (B, self.mout, self._prenet_out_dim()), self.cfg.dtype)
-        _, prime_vars = self.net.apply(
-            self.variables, dummy,
-            method=lambda m, x: m.encoder(
-                x, None, decode=True, prime=True, cache_capacity=self.cap),
-            mutable=["cache"])
-        return prime_vars["cache"]
-
-    def _prenet_out_dim(self) -> int:
-        conf = self.cfg.enc_prenet
-        lnr = conf.get("lnr_dims")
-        if lnr is not None:
-            dims = lnr if isinstance(lnr, (list, tuple)) else [lnr]
-            return dims[-1]
-        dims = conf.get("conv_dims", (64, 64))
-        dims = dims if isinstance(dims, (list, tuple)) else [dims]
-        fdim = self.n_mels
-        k = conf.get("conv_kernel", 3)
-        kf = k[1] if isinstance(k, (list, tuple)) else k
-        s = conf.get("conv_stride", 2)
-        sf = s[1] if isinstance(s, (list, tuple)) else s
-        for _ in range(len(dims)):
-            fdim = (fdim - kf) // sf + 1
-        return fdim * dims[-1]
 
     # ------------------------------------------------------- the chunk fn
 
@@ -363,49 +419,6 @@ class StreamingASR:
             ctc_prev=new_prev,
         )
         return new_state, ids, emit
-
-    def _rel0(self) -> int:
-        """Static offset of the next frame's window inside
-        [wave_tail | chunk]. After c chunks the stream has emitted
-        F_c = n0 + (c-1)*m frames; the next frame F_c has window start
-        F_c*hop - p (real coordinates; the left reflect pad is virtual
-        negative indices), and the concat begins at real sample
-        c*S - n_fft. S % hop == 0 makes the difference constant in c."""
-        fe = self.cfg.frontend
-        n_fft, hop, p = fe.fft, fe.hop, fe.fft // 2
-        return self.n0 * hop - p - (self.S - n_fft)
-
-    def _frames_of(self, cat: Array, n_frames: int) -> Array:
-        """Static strided framing: (B, L) -> (B, n_frames, n_fft), frame j
-        covering cat[:, j*hop : j*hop + n_fft] — the same windows the
-        offline strided conv consumes (frontend.py:252-266)."""
-        fe = self.cfg.frontend
-        idx = (jnp.arange(n_frames) * fe.hop)[:, None] + \
-            jnp.arange(fe.fft)[None, :]
-        return cat[:, idx]
-
-    def _logmel(self, frames: Array) -> Array:
-        """Windowed-DFT matmul + power + mel + log on pre-cut frames —
-        identical math to _frontend_impl steps 3-5 (frontend.py:252-293),
-        with the same fp32 HIGHEST-precision contractions."""
-        fe = self.cfg.frontend
-        prec = _precision(fe)
-        spec = jnp.einsum("btn,fn->btf", frames, self._basis,
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
-        nf = fe.n_freqs
-        re, im = spec[..., :nf], spec[..., nf:]
-        power = re * re + im * im
-        if fe.mag_spec:
-            power = jnp.sqrt(power)
-        feat = jnp.einsum("btf,fm->btm", power, self._melfb,
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
-        if fe.logging:
-            feat = jnp.log(jnp.clip(feat, min=fe.clamp))
-            if fe.log_base is not None:
-                feat = feat / math.log(fe.log_base)
-        return feat
 
 
 def ctc_greedy_offline(net, variables: Dict[str, Any], feat: Array,

@@ -179,14 +179,28 @@ class MultiHeadedAttention(nn.Module):
                     "decode=True requires an initialized cache; run a priming "
                     "pass with prime=True and cache_capacity set first")
             index = idx_var.value if decode_index is None else decode_index
+            index = jnp.asarray(index, jnp.int32)
+            per_row = index.ndim == 1        # (B,) positions: stream pool
             if not prime:
                 # write this step's K/V row(s) into the static-capacity buffer
-                kh = jax.lax.dynamic_update_slice(
-                    cap_k.value, kh.astype(self.dtype), (0, 0, index, 0))
-                vh = jax.lax.dynamic_update_slice(
-                    cap_v.value, vh.astype(self.dtype), (0, 0, index, 0))
+                if per_row:
+                    # each batch row writes at its OWN position (continuous
+                    # batching: concurrent streams at different offsets)
+                    write = jax.vmap(lambda c, n, i:
+                                     jax.lax.dynamic_update_slice(
+                                         c, n, (0, i, 0)))
+                    kh = write(cap_k.value, kh.astype(self.dtype), index)
+                    vh = write(cap_v.value, vh.astype(self.dtype), index)
+                else:
+                    kh = jax.lax.dynamic_update_slice(
+                        cap_k.value, kh.astype(self.dtype), (0, 0, index, 0))
+                    vh = jax.lax.dynamic_update_slice(
+                        cap_v.value, vh.astype(self.dtype), (0, 0, index, 0))
                 cap_k.value, cap_v.value = kh, vh
-                idx_var.value = index + q.shape[1]
+                if not per_row:
+                    idx_var.value = index + q.shape[1]
+                # per-row positions are owned by the caller; the scalar
+                # internal index stays untouched (and unread)
             else:
                 kh, vh = cap_k.value, cap_v.value
             # per-row causal visibility: query row i sits at position
@@ -198,7 +212,8 @@ class MultiHeadedAttention(nn.Module):
             Tk, Tq = kh.shape[2], qh.shape[2]
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, Tq, Tk), 2)
             row = jax.lax.broadcasted_iota(jnp.int32, (1, Tq, Tk), 1)
-            step_mask = pos <= index + row  # (1, Tq, Tk)
+            off = index[:, None, None] if per_row else index
+            step_mask = pos <= off + row     # (1|B, Tq, Tk)
             mask = step_mask if mask is None else (mask & step_mask)
 
         scale = (1.0 / math.sqrt(self.head_size) if self.scale_dp_by_head

@@ -81,6 +81,12 @@ class PositionalEncoding(nn.Module):
         seq_len = emb_feat.shape[1]
         if isinstance(offset, int) and offset == 0:
             pe = table[None, :seq_len]
+        elif isinstance(offset, jnp.ndarray) and offset.ndim == 1:
+            # per-row decode offsets (continuous-batching stream pool):
+            # row b's frames sit at absolute positions offset[b] + j
+            pe = jnp.take(table,
+                          offset[:, None] + jnp.arange(seq_len)[None, :],
+                          axis=0)
         else:
             # single-step decode: gather the PE row(s) at the given offset
             pe = jnp.take(table, offset + jnp.arange(seq_len), axis=0)[None]

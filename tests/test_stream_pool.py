@@ -1,0 +1,155 @@
+"""Continuous-batching streaming (infer/stream_pool.py): concurrent
+streams in arbitrary phases — attaching, stepping, idling, finishing,
+restarting in reused slots — must each emit exactly the tokens the
+offline model produces on that stream's waveform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_streaming import _causal_asr, _init, _offline_tokens
+
+pytestmark = pytest.mark.slow
+
+S = 800  # chunk samples (hop=80 at sr=8000 -> m=10 frames/chunk)
+
+
+def _waves(lengths, seed=5):
+    rng = np.random.RandomState(seed)
+    return {f"s{i}": rng.randn(n).astype(np.float32) * 0.2
+            for i, n in enumerate(lengths)}
+
+
+def _offline(net, variables, wave):
+    return _offline_tokens(net, variables,
+                           jnp.asarray(wave)[None],
+                           jnp.full((1,), len(wave), jnp.int32))[0]
+
+
+def _build_server(slots=3, feat_norm=True):
+    from speechain_tpu.infer.stream_pool import StreamPool, StreamServer
+
+    net, _ = _causal_asr(feat_norm=feat_norm)
+    _, _, variables = _init(net)
+    pool = StreamPool(net, variables, slots=slots, chunk_samples=S,
+                      max_frames=256)
+    return net, variables, StreamServer(pool)
+
+
+def test_pool_matches_offline_staggered():
+    """Streams of different lengths attach at different ticks, feed at
+    different rates (forcing idle ticks), and all finish exactly."""
+    net, variables, server = _build_server()
+    waves = _waves([2750, 1950, 3200])
+    feed_rate = {"s0": 500, "s1": 1000, "s2": 800}
+    attach_at = {"s0": 0, "s1": 3, "s2": 0}
+    fed = {u: 0 for u in waves}
+
+    got = {}
+    for tick in range(60):
+        for u, w in waves.items():
+            if tick == attach_at[u]:
+                server.open(u)
+            if tick >= attach_at[u] and fed[u] < len(w):
+                n = min(feed_rate[u], len(w) - fed[u])
+                server.feed(u, w[fed[u]:fed[u] + n])
+                fed[u] += n
+                if fed[u] == len(w):
+                    server.end(u)
+        server.step()
+        for u in list(waves):
+            r = server.result(u)
+            if r is not None and u not in got:
+                got[u] = r
+        if len(got) == len(waves):
+            break
+
+    assert len(got) == len(waves), f"unfinished: {set(waves) - set(got)}"
+    for u, w in waves.items():
+        assert got[u] == _offline(net, variables, w), u
+    assert sum(len(t) for t in got.values()) > 0  # not vacuously empty
+
+
+def test_slot_reuse_is_exact():
+    """A slot that served stream A must serve stream B exactly afterwards:
+    stale KV-cache/mel-buffer/carry state from A may never leak into B."""
+    net, variables, server = _build_server(slots=1)
+    waves = _waves([2400, 3150], seed=9)
+
+    for u, w in waves.items():           # sequentially through the ONE slot
+        server.open(u)
+        server.feed(u, w)
+        server.end(u)
+        server.drain()
+        assert server.result(u) == _offline(net, variables, w), u
+
+
+def test_oneshot_short_stream():
+    """A stream shorter than one chunk goes through MODE_ONESHOT (left and
+    right reflect pads in a single tick) and still matches offline."""
+    net, variables, server = _build_server(slots=2, feat_norm=False)
+    n_fft = net.cfg.frontend.fft
+    w = _waves([n_fft], seed=3)["s0"]    # > n_fft/2, < one chunk
+    server.open("short")
+    server.feed("short", w)
+    server.end("short")
+    server.drain()
+    assert server.result("short") == _offline(net, variables, w)
+
+
+def test_pool_slot_lifecycle_guards():
+    net, variables, server = _build_server(slots=1)
+    server.open("a")
+    with pytest.raises(RuntimeError, match="no free slots"):
+        server.open("b")
+    with pytest.raises(ValueError, match="already exists"):
+        server.open("a")
+    p = net.cfg.frontend.fft // 2
+    server.feed("a", np.zeros(p, np.float32))     # too short to ever frame
+    with pytest.raises(ValueError, match="reflect-pad"):
+        server.end("a")
+
+
+def test_encoder_per_row_decode_positions():
+    """Unit: the causal encoder's chunked KV decode with a per-row
+    position VECTOR — rows advancing by different valid counts reproduce
+    the full pass row-for-row."""
+    from speechain_tpu.nn.transformer import TransformerEncoder
+
+    D, B, T, Tq = 32, 3, 12, 4
+    rng = jax.random.PRNGKey(2)
+    enc = TransformerEncoder(d_model=D, num_heads=4, num_layers=2,
+                             fdfwd_dim=64, uni_direction=True)
+    x = jax.random.normal(rng, (B, T, D))
+    variables = enc.init({"params": rng}, x, None)
+    full, *_ = enc.apply(variables, x, None)
+
+    # capacity slack >= Tq: a write of Tq rows at position near T must not
+    # clamp backwards (dynamic_update_slice clamps its start index)
+    cap = T + Tq
+    _, primed = enc.apply(variables, x[:, :1], None, decode=True,
+                          prime=True, cache_capacity=cap, mutable=["cache"])
+    cache = primed["cache"]
+    # per-row advance schedule: row b consumes adv[b] valid frames per call
+    adv = np.array([4, 3, 2])
+    pos = np.zeros(B, np.int32)
+    out = np.zeros((B, T, D), np.float32)
+    for _ in range(6):
+        if (pos >= T).all():
+            break
+        chunk = np.zeros((B, Tq, D), np.float32)
+        for b in range(B):
+            n = min(adv[b], T - pos[b])
+            chunk[b, :n] = np.asarray(x[b, pos[b]:pos[b] + n])
+        (o, *_), cv = enc.apply(
+            {**variables, "cache": cache}, jnp.asarray(chunk), None,
+            decode=True, cache_capacity=cap,
+            decode_position=jnp.asarray(pos), mutable=["cache"])
+        cache = cv["cache"]
+        o = np.asarray(o)
+        for b in range(B):
+            n = min(adv[b], T - pos[b])
+            out[b, pos[b]:pos[b] + n] = o[b, :n]
+            pos[b] += n
+    np.testing.assert_allclose(out, np.asarray(full), atol=1e-5)
