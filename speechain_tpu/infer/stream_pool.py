@@ -318,6 +318,11 @@ class StreamServer:
         """Final token list once the stream has fully flushed, else None."""
         return self._done.get(uid)
 
+    @property
+    def active(self) -> int:
+        """Number of sessions currently holding a slot."""
+        return len(self._slot)
+
     def step(self) -> Dict[str, List[int]]:
         """Pack every ready slot into one tick; returns the NEW tokens each
         live stream emitted this tick (finished streams flush into

@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--selftest", action="store_true",
                    help="also run the model offline on each wav and assert "
                         "the streamed tokens match exactly")
+    p.add_argument("--concurrency", type=int, default=1,
+                   help="serve N wavs concurrently through the continuous-"
+                        "batching StreamPool (one device dispatch per tick "
+                        "for all N); 1 = sequential lockstep streaming")
     args = p.parse_args(argv)
     if not args.wav and not args.wav_scp:
         p.error("need --wav files or --wav_scp")
@@ -87,6 +91,14 @@ def main(argv=None):
         wavs = list(read_idx2data_file(args.wav_scp).items())
     else:
         wavs = [(os.path.basename(w), w) for w in args.wav]
+
+    if args.concurrency > 1:
+        results = _run_pool(args, net, net_cfg, variables, tokenizer, wavs,
+                            sr, chunk)
+        if args.output:
+            write_idx2data_file(results, args.output)
+            print(f"wrote {len(results)} transcripts to {args.output}")
+        return
 
     results = {}
     for idx, path in wavs:
@@ -145,6 +157,63 @@ def main(argv=None):
     if args.output:
         write_idx2data_file(results, args.output)
         print(f"wrote {len(results)} transcripts to {args.output}")
+
+
+def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
+    """Continuous-batching path: N wavs in flight per device tick."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speechain_tpu.infer.stream_pool import StreamPool, StreamServer
+    from speechain_tpu.infer.streaming import ctc_greedy_offline
+    from speechain_tpu.utils.fileio import read_data_by_path
+
+    pool = StreamPool(net, variables, slots=args.concurrency,
+                      chunk_samples=chunk, max_frames=args.max_frames)
+    server = StreamServer(pool)
+    min_samples = net_cfg.frontend.fft // 2 + 1
+
+    pending = list(wavs)
+    loaded, results = {}, {}
+    while pending or server.active:
+        # attach files while slots are free
+        while pending and server.active < args.concurrency:
+            idx, path = pending.pop(0)
+            wave, file_sr = read_data_by_path(path, return_sample_rate=True)
+            wave = np.asarray(wave, np.float32).reshape(-1)
+            if file_sr != sr:
+                print(f"[{idx}] skip: file sr={file_sr} != model sr={sr}",
+                      file=sys.stderr)
+                continue
+            if len(wave) < min_samples:
+                print(f"[{idx}] skip: {len(wave)} samples is shorter than "
+                      f"the reflect-pad bound ({min_samples})",
+                      file=sys.stderr)
+                continue
+            server.open(idx)
+            server.feed(idx, wave)   # files are fully available: feed whole
+            server.end(idx)
+            loaded[idx] = wave
+        server.step()
+        for idx in list(loaded):
+            toks = server.result(idx)
+            if toks is None:
+                continue
+            results[idx] = tokenizer.tensor2text(np.asarray(toks))
+            print(f"[{idx}] final: {results[idx]}", flush=True)
+            if args.selftest:
+                wave = loaded[idx]
+                feat = jnp.asarray(wave, jnp.float32)[None, :, None]
+                flen = jnp.full((1,), len(wave), jnp.int32)
+                oid, oem = ctc_greedy_offline(net, variables, feat, flen)
+                offline = oid[0][oem[0]].tolist()
+                if offline != toks:
+                    raise SystemExit(
+                        f"[{idx}] SELFTEST FAILED: stream {toks} != "
+                        f"offline {offline}")
+                print(f"[{idx}] selftest OK (stream == offline)", flush=True)
+            del loaded[idx]
+    return results
 
 
 if __name__ == "__main__":

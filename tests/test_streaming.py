@@ -220,3 +220,13 @@ def test_stream_cli_end_to_end(tmp_path):
                      "--selftest"])
     lines = open(out).read().strip().splitlines()
     assert len(lines) == 4  # every test wav transcribed (selftest passed)
+
+    # the continuous-batching path (--concurrency) serves the same wavs
+    # through the StreamPool and must transcribe identically
+    out_pool = str(tmp_path / "idx2text_pooled")
+    stream_cli.main(["--config", cfg_path, "--result_path", exp,
+                     "--wav_scp", wav_scp, "--output", out_pool,
+                     "--chunk_ms", "300", "--max_frames", "512",
+                     "--concurrency", "4", "--selftest"])
+    assert sorted(open(out_pool).read().strip().splitlines()) == \
+        sorted(lines)
