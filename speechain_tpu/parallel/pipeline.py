@@ -109,7 +109,7 @@ def _scatter_from_last(valid: Array, S: int, axis: str) -> Array:
 
 def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: Array,
                    mesh: Mesh, *, n_micro: Optional[int] = None,
-                   axis: str = "pipe") -> Array:
+                   axis: str = "pipe", remat: bool = False) -> Array:
     """Apply ``L`` stacked layers as an ``S``-stage GPipe pipeline.
 
     Args:
@@ -138,12 +138,17 @@ def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: Array,
     param_specs = jax.tree_util.tree_map(
         lambda l: P(*((axis,) + (None,) * (l.ndim - 1))), stacked_params)
 
+    # backward rematerialization (the JAX-native analog of 1F1B's memory
+    # bound): each tick's residual stash shrinks to the stage-boundary
+    # activation; layer internals are recomputed in the backward wave
+    apply_fn = jax.checkpoint(layer_fn) if remat else layer_fn
+
     def staged(local_params, micro_local):
         stage = jax.lax.axis_index(axis)
 
         def run_stage(h, m):
             def body(hh, p):
-                return layer_fn(p, hh), None
+                return apply_fn(p, hh), None
             h, _ = jax.lax.scan(body, h, local_params)
             return h
 
@@ -249,6 +254,18 @@ def make_lm_pipeline_step(net, tx, mesh, *, n_micro: Optional[int] = None,
         micro = x.reshape(n_micro, mb, Lx, x.shape[-1])
         micro_mask = mask.reshape(n_micro, mb, Lx, Lx)
 
+        def apply_layer(p_i, hh, m_mask, k_i):
+            out, _ = layer.apply({"params": p_i}, hh, m_mask,
+                                 train=train, return_attmat=False,
+                                 rngs={"dropout": k_i})
+            return out
+
+        if e.remat:
+            # encoder.remat from the recipe config: recompute layer
+            # internals in the backward wave (nn/transformer.py:184 law,
+            # extended into the pipeline schedule)
+            apply_layer = jax.checkpoint(apply_layer)
+
         def run_stage(h, m):
             def body(hh, xs):
                 p_i, idx = xs
@@ -256,10 +273,7 @@ def make_lm_pipeline_step(net, tx, mesh, *, n_micro: Optional[int] = None,
                 # the pipeline schedule, so draws don't depend on S
                 k_i = jax.random.fold_in(jax.random.fold_in(key, m),
                                          stage * K + idx)
-                out, _ = layer.apply({"params": p_i}, hh, micro_mask[m],
-                                     train=train, return_attmat=False,
-                                     rngs={"dropout": k_i})
-                return out, None
+                return apply_layer(p_i, hh, micro_mask[m], k_i), None
             h, _ = jax.lax.scan(body, h, (stacked, jnp.arange(K)))
             return h
 
@@ -483,15 +497,22 @@ def make_arasr_pipeline_step(net, cfg, tx, mesh, *,
         micro = x.reshape(n_micro, mb, T2, D)
         micro_mask = mask.reshape(n_micro, mb, 1, T2)
 
+        def apply_layer(p_i, hh, m_mask, k_i):
+            out, _ = layer.apply({"params": p_i}, hh, m_mask,
+                                 train=train, return_attmat=False,
+                                 rngs={"dropout": k_i})
+            return out
+
+        if e.remat:
+            # encoder.remat from the recipe config (see make_lm_pipeline_step)
+            apply_layer = jax.checkpoint(apply_layer)
+
         def run_stage(h, m):
             def body(hh, xs):
                 p_i, idx = xs
                 k_i = jax.random.fold_in(jax.random.fold_in(k_drop, m),
                                          stage * K + idx)
-                out, _ = layer.apply({"params": p_i}, hh, micro_mask[m],
-                                     train=train, return_attmat=False,
-                                     rngs={"dropout": k_i})
-                return out, None
+                return apply_layer(p_i, hh, micro_mask[m], k_i), None
             h, _ = jax.lax.scan(body, h, (stacked, jnp.arange(K)))
             return h
 

@@ -256,6 +256,39 @@ def test_asr_pipeline_step_matches_sequential(mesh_shape, n_micro):
                                        atol=1e-5)
 
 
+def test_asr_pipeline_remat_matches_plain():
+    """encoder.remat inside the pipeline stage body (the JAX analog of
+    1F1B's memory bound: recompute layer internals in the backward wave)
+    must leave the training trajectory bit-equivalent in value."""
+    import optax
+
+    from speechain_tpu.models.ar_asr import ARASRNet
+    from speechain_tpu.parallel.mesh import make_mesh
+    from speechain_tpu.parallel.pipeline import make_arasr_pipeline_step
+    from speechain_tpu.train.state import init_train_state
+
+    net, cfg, variables, batch = _asr_and_batch()
+    cfg_r = cfg.replace(encoder={**dict(cfg.encoder), "remat": True})
+    net_r = ARASRNet(cfg=cfg_r)
+    tx = optax.sgd(1e-2)
+    mesh = make_mesh(n_data=1, n_pipe=4)
+
+    s_plain = init_train_state(variables, tx)
+    s_remat = init_train_state(variables, tx)
+    jplain = make_arasr_pipeline_step(net, cfg, tx, mesh,
+                                      donate_state=False)
+    jremat = make_arasr_pipeline_step(net_r, cfg_r, tx, mesh,
+                                      donate_state=False)
+    for i in range(2):
+        rng = jax.random.fold_in(RNG, 300 + i)
+        s_plain, m_p = jplain(s_plain, batch, rng)
+        s_remat, m_r = jremat(s_remat, batch, rng)
+        assert abs(float(m_p["loss"]) - float(m_r["loss"])) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
+                    jax.tree_util.tree_leaves(s_remat.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_asr_pipeline_valid_step_is_pure():
     import optax
 
