@@ -176,8 +176,13 @@ def make_asr_decoder(net, **decode_kwargs):
     """
     import jax
 
+    from speechain_tpu.infer.quantize import dequantize_variables
+
     @jax.jit
     def decode(variables, feat, feat_len, group_ids=None):
+        # identity on float trees; reconstructs int8-quantized weights
+        # in-executable (infer/quantize.py — infer_cfg: weight_quant)
+        variables = dequantize_variables(variables)
         return asr_beam_search(net, variables, feat, feat_len,
                                group_ids=group_ids, **decode_kwargs)
 
@@ -189,8 +194,11 @@ def make_asr_teacher_scorer(net, **kwargs):
     :func:`asr_teacher_forcing` (same rationale as make_asr_decoder)."""
     import jax as _jax
 
+    from speechain_tpu.infer.quantize import dequantize_variables
+
     @_jax.jit
     def score(variables, feat, feat_len, text, text_len):
+        variables = dequantize_variables(variables)
         return asr_teacher_forcing(net, variables, feat, feat_len, text,
                                    text_len, **kwargs)
 

@@ -32,8 +32,12 @@ def make_tts_synthesizer(net, **decode_kwargs):
     is catastrophic on a remote TPU)."""
     import jax as _jax
 
+    from speechain_tpu.infer.quantize import dequantize_variables
+
     @_jax.jit
     def synthesize(variables, text, text_len, spk_feat=None, spk_ids=None):
+        # identity on float trees (infer/quantize.py weight_quant path)
+        variables = dequantize_variables(variables)
         return tts_auto_regression(net, variables, text, text_len,
                                    spk_feat=spk_feat, spk_ids=spk_ids,
                                    **decode_kwargs)

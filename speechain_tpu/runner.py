@@ -878,6 +878,22 @@ def test_main(cfg: Dict, args):
         return lm_net, lm_vars
 
     for run_name, infer_cfg in infer_runs.items():
+      run_vars = variables
+      wq = infer_cfg.get("weight_quant")
+      if wq:
+          # weight-only int8 serving (infer/quantize.py): the decode
+          # executables receive int8 weights + per-channel scales and
+          # dequantize in-executable
+          assert str(wq).lower() == "int8", \
+              f"weight_quant must be 'int8', got {wq!r}"
+          from speechain_tpu.infer.quantize import (quantize_variables,
+                                                    quantized_bytes)
+          run_vars = quantize_variables(
+              variables,
+              min_elems=int(infer_cfg.get("weight_quant_min_elems", 8192)))
+          now, deq = quantized_bytes(run_vars)
+          logger.info("weight_quant=int8: resident variables %.1f MiB "
+                      "(float: %.1f MiB)", now / 2**20, deq / 2**20)
       lm_kwargs = {}
       if float(infer_cfg.get("lm_weight", 0.0)) > 0.0:
           lm_net, lm_vars = _load_lm(infer_cfg)
@@ -936,7 +952,7 @@ def test_main(cfg: Dict, args):
                     # teacher-forced confidence scoring of the ground-truth
                     # text (model/ar_asr.py:874-921) — the chain recipes
                     # filter pseudo-labeled data on these outputs
-                    out = teacher_fn(variables,
+                    out = teacher_fn(run_vars,
                                      jnp.asarray(batch["feat"]),
                                      jnp.asarray(batch["feat_len"]),
                                      jnp.asarray(batch["text"]),
@@ -950,7 +966,7 @@ def test_main(cfg: Dict, args):
                            if fn_cfg is not None
                            and fn_cfg.norm_type == "group" else None)
                     out = decode_fn(
-                        variables, jnp.asarray(batch["feat"]),
+                        run_vars, jnp.asarray(batch["feat"]),
                         jnp.asarray(batch["feat_len"]),
                         group_ids=(None if gid is None
                                    else jnp.asarray(gid)))
@@ -1023,6 +1039,18 @@ def tts_test_main(cfg, args, net, net_cfg, tokenizer, variables, name,
     infer_cfg = next(iter(expand_infer_cfg(
         cfg.get("infer_cfg") or {}).values()))
     is_ar = isinstance(net_cfg, ARTTSConfig)
+    synth_vars = variables
+    wq = infer_cfg.get("weight_quant")
+    if wq and is_ar:
+        # weight-only int8 serving of the jitted AR synthesizer
+        # (infer/quantize.py); recover_feat below keeps the float tree
+        # (it reads norm stats eagerly, outside the jit boundary)
+        assert str(wq).lower() == "int8", \
+            f"weight_quant must be 'int8', got {wq!r}"
+        from speechain_tpu.infer.quantize import quantize_variables
+        synth_vars = quantize_variables(
+            variables,
+            min_elems=int(infer_cfg.get("weight_quant_min_elems", 8192)))
     result_path = cfg["result_path"]
     test_sets = {k: v for k, v in cfg["data_cfg"].items()
                  if k not in ("train", "valid")} or {"valid": None}
@@ -1052,7 +1080,7 @@ def tts_test_main(cfg, args, net, net_cfg, tokenizer, variables, name,
                         maxlen_ratio=float(infer_cfg.get("maxlen_ratio",
                                                          10.0)),
                         max_frames=int(infer_cfg.get("max_frames", 1024)))
-                out = synth(variables, text, text_len,
+                out = synth(synth_vars, text, text_len,
                             spk_feat=(jnp.asarray(batch["spk_feat"])
                                       if "spk_feat" in batch else None))
                 feat, feat_len = out["hypo_feat"], out["hypo_feat_len"]
