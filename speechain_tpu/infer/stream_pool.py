@@ -98,11 +98,14 @@ class StreamPool(_StreamBase):
     """
 
     def __init__(self, net, variables: Dict[str, Any], *, slots: int,
-                 chunk_samples: int, max_frames: int = 4096):
+                 chunk_samples: int, max_frames: int = 4096,
+                 weight_quant: Optional[str] = None,
+                 wq_min_elems: int = 8192):
         super().__init__(net, variables, chunk_samples=chunk_samples,
-                         max_frames=max_frames)
+                         max_frames=max_frames, weight_quant=weight_quant,
+                         wq_min_elems=wq_min_elems)
         self.slots = slots
-        self._tick = jax.jit(self._tick_impl, donate_argnums=(0,))
+        self._tick = jax.jit(self._tick_impl, donate_argnums=(1,))
 
     def reset(self) -> PoolState:
         B, D = self.slots, self.n_mels
@@ -119,14 +122,16 @@ class StreamPool(_StreamBase):
 
     def tick(self, state: PoolState, chunks: Array, modes,
              tail_lens) -> Tuple[PoolState, Array, Array]:
-        return self._tick(state, chunks,
+        return self._tick(self.exec_variables, state, chunks,
                           jnp.asarray(modes, jnp.int32),
                           jnp.asarray(tail_lens, jnp.int32))
 
     # --------------------------------------------------- the tick function
 
-    def _tick_impl(self, state: PoolState, chunk: Array, modes: Array,
-                   tail_len: Array):
+    def _tick_impl(self, variables: Dict[str, Any], state: PoolState,
+                   chunk: Array, modes: Array, tail_len: Array):
+        from speechain_tpu.infer.quantize import dequantize_variables
+        variables = dequantize_variables(variables)
         fe = self.cfg.frontend
         n_fft, hop, p = fe.fft, fe.hop, fe.fft // 2
         chunk = to_float_wave(chunk)
@@ -206,7 +211,7 @@ class StreamPool(_StreamBase):
         window = buf[:, :self.pw].astype(self.cfg.dtype)
         wlen = jnp.full((B,), self.pw, jnp.int32)
         pre, _ = self.net.apply(
-            self.variables, window, wlen,
+            variables, window, wlen,
             method=lambda m, f, fl: m.enc_prenet(f, fl, train=False))
         pre = pre[:, :self.mout]
 
@@ -218,7 +223,7 @@ class StreamPool(_StreamBase):
 
         # --- causal encoder chunk, per-row KV-cache positions
         enc_out, cache_vars = self.net.apply(
-            {**self.variables, "cache": state.enc_cache}, pre, enc_frames,
+            {**variables, "cache": state.enc_cache}, pre, enc_frames,
             method=lambda m, x, pos: m.encoder(
                 x, None, decode=True, cache_capacity=self.cap,
                 decode_position=pos),
@@ -226,7 +231,7 @@ class StreamPool(_StreamBase):
         enc_feat = enc_out[0]                            # (B, mout, D)
 
         # --- CTC head + per-row greedy collapse (blank=0)
-        logits = self.net.apply(self.variables, enc_feat,
+        logits = self.net.apply(variables, enc_feat,
                                 method=lambda m, x: m.ctc_logits(x))
         ids = jnp.argmax(logits, -1).astype(jnp.int32)   # (B, mout)
         valid = jnp.arange(self.mout)[None, :] < n_new[:, None]

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,7 +101,9 @@ class _StreamBase:
     (infer/stream_pool.py)."""
 
     def __init__(self, net, variables: Dict[str, Any], *,
-                 chunk_samples: int, max_frames: int = 4096):
+                 chunk_samples: int, max_frames: int = 4096,
+                 weight_quant: Optional[str] = None,
+                 wq_min_elems: int = 8192):
         cfg = net.cfg
         fe = cfg.frontend
         if cfg.encoder_type != "transformer" or \
@@ -160,6 +162,24 @@ class _StreamBase:
         self._norm_stats = (jax.tree_util.tree_map(
             jnp.asarray, coerce_stats(stats_tree["frontend"]["stats"]))
             if stats_tree else None)
+
+        # weight-only int8 serving (infer/quantize.py): the chunk
+        # executables receive the (possibly quantized) tree as an ARGUMENT
+        # — a closed-over tree would constant-fold the dequantize away —
+        # and dequantize in-executable. `offline_variables` is the float
+        # tree the stream is exact against (== `variables` unquantized).
+        if weight_quant:
+            assert str(weight_quant).lower() == "int8", \
+                f"weight_quant must be 'int8', got {weight_quant!r}"
+            from speechain_tpu.infer.quantize import (dequantize_variables,
+                                                      quantize_variables)
+            self.exec_variables = quantize_variables(
+                variables, min_elems=wq_min_elems)
+            self.offline_variables = dequantize_variables(
+                self.exec_variables)
+        else:
+            self.exec_variables = variables
+            self.offline_variables = variables
 
     # ------------------------------------------------------------ plumbing
 
@@ -255,16 +275,20 @@ class StreamingASR(_StreamBase):
     """
 
     def __init__(self, net, variables: Dict[str, Any], *,
-                 chunk_samples: int, max_frames: int = 4096):
+                 chunk_samples: int, max_frames: int = 4096,
+                 weight_quant: Optional[str] = None,
+                 wq_min_elems: int = 8192):
         super().__init__(net, variables, chunk_samples=chunk_samples,
-                         max_frames=max_frames)
-        # one executable per call type; state is donated every call
+                         max_frames=max_frames, weight_quant=weight_quant,
+                         wq_min_elems=wq_min_elems)
+        # one executable per call type; state is donated every call and
+        # the (possibly int8) variable tree rides along as an argument
         self._start = jax.jit(partial(self._call, mode="start"),
-                              donate_argnums=(0,))
+                              donate_argnums=(1,))
         self._step = jax.jit(partial(self._call, mode="step"),
-                             donate_argnums=(0,))
+                             donate_argnums=(1,))
         self._finish = jax.jit(partial(self._call, mode="finish"),
-                               donate_argnums=(0,))
+                               donate_argnums=(1,))
 
     # ---------------------------------------------------------- public API
 
@@ -284,22 +308,27 @@ class StreamingASR(_StreamBase):
 
     def start(self, state: StreamState, chunk: Array):
         """First chunk of the stream (materializes the left reflect pad)."""
-        return self._start(state, chunk, jnp.zeros((), jnp.int32))
+        return self._start(self.exec_variables, state, chunk,
+                           jnp.zeros((), jnp.int32))
 
     def step(self, state: StreamState, chunk: Array):
         """A steady mid-stream chunk of exactly ``chunk_samples``."""
-        return self._step(state, chunk, jnp.zeros((), jnp.int32))
+        return self._step(self.exec_variables, state, chunk,
+                          jnp.zeros((), jnp.int32))
 
     def finish(self, state: StreamState, tail: Array, tail_len: Array):
         """Final (ragged) samples; ``tail`` is zero-padded to
         ``chunk_samples`` and ``tail_len`` (scalar int) gives the real
         count (0 is fine). Materializes the right reflect pad."""
-        return self._finish(state, tail, jnp.asarray(tail_len, jnp.int32))
+        return self._finish(self.exec_variables, state, tail,
+                            jnp.asarray(tail_len, jnp.int32))
 
     # ------------------------------------------------------- the chunk fn
 
-    def _call(self, state: StreamState, chunk: Array, tail_len: Array, *,
-              mode: str):
+    def _call(self, variables: Dict[str, Any], state: StreamState,
+              chunk: Array, tail_len: Array, *, mode: str):
+        from speechain_tpu.infer.quantize import dequantize_variables
+        variables = dequantize_variables(variables)
         fe = self.cfg.frontend
         n_fft, hop, p = fe.fft, fe.hop, fe.fft // 2
         chunk = to_float_wave(chunk)
@@ -376,7 +405,7 @@ class StreamingASR(_StreamBase):
         window = buf[:, :self.pw].astype(self.cfg.dtype)
         wlen = jnp.full((B,), self.pw, jnp.int32)
         pre, _ = self.net.apply(
-            self.variables, window, wlen,
+            variables, window, wlen,
             method=lambda m, f, fl: m.enc_prenet(f, fl, train=False))
         pre = pre[:, :self.mout]
 
@@ -388,7 +417,7 @@ class StreamingASR(_StreamBase):
 
         # --- causal encoder chunk via the KV-cache decode path
         enc_out, cache_vars = self.net.apply(
-            {**self.variables, "cache": state.enc_cache}, pre,
+            {**variables, "cache": state.enc_cache}, pre,
             state.enc_frames,
             method=lambda m, x, pos: m.encoder(
                 x, None, decode=True, cache_capacity=self.cap,
@@ -397,7 +426,7 @@ class StreamingASR(_StreamBase):
         enc_feat = enc_out[0]                        # (B, mout, D)
 
         # --- CTC head + greedy collapse (blank=0), masked to n_new rows
-        logits = self.net.apply(self.variables, enc_feat,
+        logits = self.net.apply(variables, enc_feat,
                                 method=lambda m, x: m.ctc_logits(x))
         ids = jnp.argmax(logits, -1).astype(jnp.int32)     # (B, mout)
         valid = (jnp.arange(self.mout)[None, :] <

@@ -44,6 +44,13 @@ def main(argv=None):
                    help="serve N wavs concurrently through the continuous-"
                         "batching StreamPool (one device dispatch per tick "
                         "for all N); 1 = sequential lockstep streaming")
+    p.add_argument("--weight_quant", default=None, choices=["int8"],
+                   help="serve int8-quantized weights (infer/quantize.py); "
+                        "--selftest then checks against the offline "
+                        "QUANTIZED model")
+    p.add_argument("--wq_min_elems", type=int, default=8192,
+                   help="quantize only weight leaves with at least this "
+                        "many elements")
     args = p.parse_args(argv)
     if not args.wav and not args.wav_scp:
         p.error("need --wav files or --wav_scp")
@@ -85,7 +92,12 @@ def main(argv=None):
     chunk = max(int(args.chunk_ms / 1000.0 * sr) // hop, 1) * hop
     chunk = max(chunk, net_cfg.frontend.fft)
     stream = StreamingASR(net, variables, chunk_samples=chunk,
-                          max_frames=args.max_frames)
+                          max_frames=args.max_frames,
+                          weight_quant=args.weight_quant,
+                          wq_min_elems=args.wq_min_elems)
+    # selftest/short-file reference: the float tree the stream is exact
+    # against (the dequantized weights when --weight_quant is set)
+    off_vars = stream.offline_variables
 
     if args.wav_scp:
         wavs = list(read_idx2data_file(args.wav_scp).items())
@@ -112,7 +124,7 @@ def main(argv=None):
             # shorter than one chunk: nothing to stream — run offline
             feat = jnp.asarray(wave, jnp.float32)[None, :, None]
             flen = jnp.full((1,), len(wave), jnp.int32)
-            oid, oem = ctc_greedy_offline(net, variables, feat, flen)
+            oid, oem = ctc_greedy_offline(net, off_vars, feat, flen)
             results[idx] = tokenizer.tensor2text(oid[0][oem[0]])
             print(f"[{idx}] (short file, offline): {results[idx]}",
                   flush=True)
@@ -146,7 +158,7 @@ def main(argv=None):
         if args.selftest:
             feat = jnp.asarray(wave, jnp.float32)[None, :, None]
             flen = jnp.full((1,), len(wave), jnp.int32)
-            oid, oem = ctc_greedy_offline(net, variables, feat, flen)
+            oid, oem = ctc_greedy_offline(net, off_vars, feat, flen)
             offline = oid[0][oem[0]].tolist()
             if offline != toks:
                 raise SystemExit(
@@ -169,7 +181,10 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
     from speechain_tpu.utils.fileio import read_data_by_path
 
     pool = StreamPool(net, variables, slots=args.concurrency,
-                      chunk_samples=chunk, max_frames=args.max_frames)
+                      chunk_samples=chunk, max_frames=args.max_frames,
+                      weight_quant=args.weight_quant,
+                      wq_min_elems=args.wq_min_elems)
+    off_vars = pool.offline_variables
     server = StreamServer(pool)
     min_samples = net_cfg.frontend.fft // 2 + 1
 
@@ -205,7 +220,7 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
                 wave = loaded[idx]
                 feat = jnp.asarray(wave, jnp.float32)[None, :, None]
                 flen = jnp.full((1,), len(wave), jnp.int32)
-                oid, oem = ctc_greedy_offline(net, variables, feat, flen)
+                oid, oem = ctc_greedy_offline(net, off_vars, feat, flen)
                 offline = oid[0][oem[0]].tolist()
                 if offline != toks:
                     raise SystemExit(

@@ -111,6 +111,40 @@ def test_pool_slot_lifecycle_guards():
         server.end("a")
 
 
+def test_pool_weight_quant_matches_quantized_offline():
+    """int8 serving through the pool: streamed tokens must equal the
+    offline CTC-greedy output of the DEQUANTIZED model (the float tree the
+    int8 executables reproduce exactly)."""
+    import jax.numpy as jnp
+
+    from speechain_tpu.infer.quantize import MARKER
+    from speechain_tpu.infer.stream_pool import StreamPool, StreamServer
+
+    net, _ = _causal_asr()
+    _, _, variables = _init(net)
+    pool = StreamPool(net, variables, slots=2, chunk_samples=S,
+                      max_frames=256, weight_quant="int8",
+                      wq_min_elems=256)   # tiny test kernels must quantize
+    # quantization actually selected weights (guards a vacuous pass)
+    flat = jax.tree_util.tree_leaves_with_path(
+        pool.exec_variables, is_leaf=lambda n: isinstance(n, dict)
+        and MARKER in n)
+    assert any(isinstance(leaf, dict) and MARKER in leaf
+               for _, leaf in flat)
+    server = StreamServer(pool)
+    waves = _waves([2750, 1950], seed=11)
+    for u, w in waves.items():
+        server.open(u)
+        server.feed(u, w)
+        server.end(u)
+    server.drain()
+    for u, w in waves.items():
+        want = _offline_tokens(net, pool.offline_variables,
+                               jnp.asarray(w)[None],
+                               jnp.full((1,), len(w), jnp.int32))[0]
+        assert server.result(u) == want, u
+
+
 def test_encoder_per_row_decode_positions():
     """Unit: the causal encoder's chunked KV decode with a per-row
     position VECTOR — rows advancing by different valid counts reproduce
