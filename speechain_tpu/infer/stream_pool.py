@@ -76,6 +76,8 @@ class PoolState(NamedTuple):
     enc_frames: Array      # (B,) prenet/encoder frames emitted (= J[b])
     enc_cache: Any         # flax 'cache' of the causal encoder
     ctc_prev: Array        # (B,) last argmax id (greedy collapse carry)
+    blank_run: Array       # (B,) trailing all-blank encoder frames (the
+    #                        CTC endpointing signal; StreamServer reads it)
 
 
 class StreamPool(_StreamBase):
@@ -118,6 +120,7 @@ class StreamPool(_StreamBase):
             enc_frames=jnp.zeros((B,), jnp.int32),
             enc_cache=self._prime_cache(B),
             ctc_prev=jnp.zeros((B,), jnp.int32),
+            blank_run=jnp.zeros((B,), jnp.int32),
         )
 
     def tick(self, state: PoolState, chunks: Array, modes,
@@ -147,6 +150,7 @@ class StreamPool(_StreamBase):
         mel_total = jnp.where(is_start, 0, state.mel_total)
         enc_frames = jnp.where(is_start, 0, state.enc_frames)
         ctc_prev = jnp.where(is_start, 0, state.ctc_prev)
+        blank_run = jnp.where(is_start, 0, state.blank_run)
 
         # --- pre-emphasis with per-row carry (frontend.py:236-241)
         if fe.preemphasis is not None:
@@ -241,6 +245,16 @@ class StreamPool(_StreamBase):
         last_ids = jnp.take_along_axis(ids, last_idx[:, None], 1)[:, 0]
         new_prev = jnp.where(n_new > 0, last_ids, ctc_prev)
 
+        # trailing all-blank encoder-frame run (CTC endpointing signal):
+        # extend across ticks when every valid frame is blank, else count
+        # from the last non-blank valid frame. Idle rows add n_new = 0.
+        pos_idx = jnp.arange(self.mout)[None, :]
+        nonblank = (ids != 0) & valid
+        any_nb = nonblank.any(1)
+        last_nb = jnp.max(jnp.where(nonblank, pos_idx, -1), 1)
+        new_run = jnp.where(any_nb, n_new - 1 - last_nb,
+                            blank_run + n_new)
+
         act2 = active[:, None]
         new_state = PoolState(
             preemph_carry=jnp.where(act2, chunk[:, -1:],
@@ -252,6 +266,7 @@ class StreamPool(_StreamBase):
             enc_frames=j_new,
             enc_cache=cache_vars["cache"],
             ctc_prev=new_prev,
+            blank_run=new_run,
         )
         return new_state, ids, emit
 
@@ -275,10 +290,22 @@ class StreamServer:
     finishes; opening more sessions than slots raises.
     """
 
-    def __init__(self, pool: StreamPool):
+    def __init__(self, pool: StreamPool,
+                 endpoint_blank_ms: Optional[float] = None):
+        """``endpoint_blank_ms``: if set, a live stream whose trailing
+        run of all-blank encoder frames covers at least this many
+        milliseconds is flagged by :meth:`endpointed` — the standard CTC
+        endpointing signal. The server only SIGNALS; the application
+        decides when to ``end()`` the stream."""
         self.pool = pool
         self.state = pool.reset()
         S = pool.S
+        fe = pool.cfg.frontend
+        self._ep_frames = None
+        if endpoint_blank_ms is not None:
+            frame_ms = pool.s_eff * fe.hop / fe.sr * 1000.0
+            self._ep_frames = max(int(endpoint_blank_ms / frame_ms), 1)
+        self._endpointed: Dict[str, bool] = {}
         self._free: List[int] = list(range(pool.slots))[::-1]
         self._slot: Dict[str, int] = {}
         self._fifo: Dict[str, np.ndarray] = {}
@@ -297,6 +324,7 @@ class StreamServer:
             raise RuntimeError("no free slots")
         self._slot[uid] = self._free.pop()
         self._fifo[uid] = np.zeros((0,), np.float32)
+        self._endpointed[uid] = False
         self._started[uid] = False
         self._ended[uid] = False
         self._frames[uid] = 0
@@ -327,6 +355,11 @@ class StreamServer:
     def active(self) -> int:
         """Number of sessions currently holding a slot."""
         return len(self._slot)
+
+    def endpointed(self, uid: str) -> bool:
+        """True once the stream's trailing blank run crossed
+        ``endpoint_blank_ms`` (sticky until the stream finishes)."""
+        return self._endpointed.get(uid, False)
 
     def step(self) -> Dict[str, List[int]]:
         """Pack every ready slot into one tick; returns the NEW tokens each
@@ -370,6 +403,8 @@ class StreamServer:
         self.state, ids, emit = pool.tick(self.state, jnp.asarray(chunks),
                                           modes, tails)
         ids, emit = np.asarray(ids), np.asarray(emit)
+        runs = (np.asarray(self.state.blank_run)
+                if self._ep_frames is not None else None)
 
         fresh: Dict[str, List[int]] = {}
         for uid, b in list(self._slot.items()):
@@ -379,11 +414,14 @@ class StreamServer:
             self._tokens[uid].extend(new)
             if new:
                 fresh[uid] = new
+            if runs is not None and self._started[uid] and \
+                    runs[b] >= self._ep_frames:
+                self._endpointed[uid] = True
             if uid in finishing:
                 self._done[uid] = self._tokens.pop(uid)
                 self._free.append(self._slot.pop(uid))
                 for d in (self._fifo, self._started, self._ended,
-                          self._frames):
+                          self._frames, self._endpointed):
                     d.pop(uid)
         return fresh
 

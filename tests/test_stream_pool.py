@@ -145,6 +145,46 @@ def test_pool_weight_quant_matches_quantized_offline():
         assert server.result(u) == want, u
 
 
+def test_blank_run_tracks_offline_trailing_blanks():
+    """The in-kernel endpointing counter must equal the trailing-blank
+    count of the offline argmax over exactly the frames emitted so far,
+    and the server's sticky endpoint flag must follow it."""
+    import jax.numpy as jnp
+
+    from speechain_tpu.infer.stream_pool import StreamPool, StreamServer
+    from speechain_tpu.infer.streaming import ctc_greedy_offline
+
+    net, _ = _causal_asr()
+    _, _, variables = _init(net)
+    pool = StreamPool(net, variables, slots=1, chunk_samples=S,
+                      max_frames=256)
+    fe = net.cfg.frontend
+    frame_ms = pool.s_eff * fe.hop / fe.sr * 1000.0
+    server = StreamServer(pool, endpoint_blank_ms=2 * frame_ms)  # 2 frames
+
+    w = _waves([3200], seed=21)["s0"]
+    # offline argmax over the whole wave (frames prefix-stable: causal)
+    ids, _ = ctc_greedy_offline(net, variables, jnp.asarray(w)[None, :, None],
+                                jnp.full((1,), len(w), jnp.int32))
+    server.open("u")
+    seen_ep = False
+    for c in range(len(w) // S):
+        server.feed("u", w[c * S:(c + 1) * S])
+        server.step()
+        j = int(np.asarray(server.state.enc_frames)[0])
+        run = int(np.asarray(server.state.blank_run)[0])
+        prefix = ids[0][:j]
+        want = 0
+        while want < j and prefix[j - 1 - want] == 0:
+            want += 1
+        assert run == want, (c, run, want)
+        seen_ep = seen_ep or run >= 2
+        assert server.endpointed("u") == seen_ep, (c, run)
+    server.end("u")
+    server.drain()
+    assert server.result("u") is not None
+
+
 def test_encoder_per_row_decode_positions():
     """Unit: the causal encoder's chunked KV decode with a per-row
     position VECTOR — rows advancing by different valid counts reproduce
