@@ -347,6 +347,23 @@ class StreamServer:
                 "reflect-pad validity)")
         self._ended[uid] = True
 
+    def buffered(self, uid: str) -> int:
+        """Samples fed but not yet consumed by a tick."""
+        return len(self._fifo[uid])
+
+    def cutoff(self, uid: str) -> int:
+        """The endpointing ACTION: discard every buffered-but-unprocessed
+        sample and end the stream where it stands, so the final flush
+        covers exactly the audio ticked so far. Returns the number of
+        samples discarded. Only meaningful on a started stream (an
+        endpoint can only fire after frames were processed)."""
+        if not self._started[uid]:
+            raise ValueError(f"stream {uid!r} has not started")
+        n = len(self._fifo[uid])
+        self._fifo[uid] = self._fifo[uid][:0]
+        self._ended[uid] = True
+        return n
+
     def result(self, uid: str) -> Optional[List[int]]:
         """Final token list once the stream has fully flushed, else None."""
         return self._done.get(uid)

@@ -51,6 +51,12 @@ def main(argv=None):
     p.add_argument("--wq_min_elems", type=int, default=8192,
                    help="quantize only weight leaves with at least this "
                         "many elements")
+    p.add_argument("--endpoint_blank_ms", type=float, default=None,
+                   help="CTC endpointing: stop a stream once its trailing "
+                        "run of blank encoder frames covers this many ms "
+                        "(command-style recognition: remaining audio is "
+                        "discarded); --selftest then checks against the "
+                        "offline model on the consumed prefix")
     args = p.parse_args(argv)
     if not args.wav and not args.wav_scp:
         p.error("need --wav files or --wav_scp")
@@ -104,7 +110,9 @@ def main(argv=None):
     else:
         wavs = [(os.path.basename(w), w) for w in args.wav]
 
-    if args.concurrency > 1:
+    if args.concurrency > 1 or args.endpoint_blank_ms is not None:
+        # endpointing lives in the pool's tick, so that path serves it
+        # even at concurrency 1
         results = _run_pool(args, net, net_cfg, variables, tokenizer, wavs,
                             sr, chunk)
         if args.output:
@@ -185,11 +193,12 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
                       weight_quant=args.weight_quant,
                       wq_min_elems=args.wq_min_elems)
     off_vars = pool.offline_variables
-    server = StreamServer(pool)
+    endpointing = args.endpoint_blank_ms is not None
+    server = StreamServer(pool, endpoint_blank_ms=args.endpoint_blank_ms)
     min_samples = net_cfg.frontend.fft // 2 + 1
 
     pending = list(wavs)
-    loaded, results = {}, {}
+    loaded, results, dropped = {}, {}, {}
     while pending or server.active:
         # attach files while slots are free
         while pending and server.active < args.concurrency:
@@ -207,9 +216,26 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
                 continue
             server.open(idx)
             server.feed(idx, wave)   # files are fully available: feed whole
-            server.end(idx)
+            if not endpointing:
+                server.end(idx)      # stream until the file runs out
             loaded[idx] = wave
         server.step()
+        if endpointing:
+            # endpoint-or-drain: stop a live stream at the first long
+            # silence (discarding the rest), else end it naturally once
+            # its audio is consumed so the tail flushes next tick
+            for idx in loaded:
+                if server.result(idx) is not None or idx in dropped:
+                    continue
+                if server.endpointed(idx):
+                    dropped[idx] = server.cutoff(idx)
+                    at = (len(loaded[idx]) - dropped[idx]) / sr
+                    print(f"[{idx}] endpointed at {at:.2f}s "
+                          f"({dropped[idx] / sr:.2f}s discarded)",
+                          flush=True)
+                elif server.buffered(idx) < chunk:
+                    dropped[idx] = 0
+                    server.end(idx)
         for idx in list(loaded):
             toks = server.result(idx)
             if toks is None:
@@ -217,7 +243,9 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
             results[idx] = tokenizer.tensor2text(np.asarray(toks))
             print(f"[{idx}] final: {results[idx]}", flush=True)
             if args.selftest:
-                wave = loaded[idx]
+                # with endpointing, the stream by design saw only the
+                # prefix up to the cut — selftest against that prefix
+                wave = loaded[idx][:len(loaded[idx]) - dropped.get(idx, 0)]
                 feat = jnp.asarray(wave, jnp.float32)[None, :, None]
                 flen = jnp.full((1,), len(wave), jnp.int32)
                 oid, oem = ctc_greedy_offline(net, off_vars, feat, flen)

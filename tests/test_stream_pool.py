@@ -185,6 +185,38 @@ def test_blank_run_tracks_offline_trailing_blanks():
     assert server.result("u") is not None
 
 
+def test_cutoff_is_exact_on_consumed_prefix():
+    """cutoff() (the endpointing action) must end the stream where it
+    stands: the flushed result equals offline decode of exactly the
+    samples consumed before the cut, and the discarded count is right."""
+    import jax.numpy as jnp
+
+    from speechain_tpu.infer.stream_pool import StreamPool, StreamServer
+    from speechain_tpu.infer.streaming import ctc_greedy_offline
+
+    net, _ = _causal_asr()
+    _, _, variables = _init(net)
+    pool = StreamPool(net, variables, slots=1, chunk_samples=S,
+                      max_frames=256)
+    server = StreamServer(pool)
+
+    w = _waves([4000], seed=13)["s0"]
+    server.open("u")
+    server.feed("u", w)
+    for _ in range(3):               # consume 3 chunks of 5
+        server.step()
+    assert server.buffered("u") == len(w) - 3 * S
+    assert server.cutoff("u") == len(w) - 3 * S
+    server.drain()
+    got = server.result("u")
+
+    prefix = w[:3 * S]
+    ids, emit = ctc_greedy_offline(net, variables,
+                                   jnp.asarray(prefix)[None, :, None],
+                                   jnp.full((1,), len(prefix), jnp.int32))
+    assert got == ids[0][emit[0]].tolist()
+
+
 def test_encoder_per_row_decode_positions():
     """Unit: the causal encoder's chunked KV decode with a per-row
     position VECTOR — rows advancing by different valid counts reproduce

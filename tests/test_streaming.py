@@ -230,3 +230,63 @@ def test_stream_cli_end_to_end(tmp_path):
                      "--concurrency", "4", "--selftest"])
     assert sorted(open(out_pool).read().strip().splitlines()) == \
         sorted(lines)
+
+
+@pytest.mark.slow
+def test_stream_cli_endpointing(tmp_path, capsys):
+    """--endpoint_blank_ms stops a stream at a long silence: the CLI
+    prints an 'endpointed' line, discards the unread audio, and its
+    internal --selftest asserts the tokens equal offline decode of the
+    consumed prefix."""
+    from speechain_tpu import runner
+    from speechain_tpu.pyscripts import stream_cli
+    from speechain_tpu.utils.fileio import (read_data_by_path,
+                                            read_idx2data_file, write_wav)
+    from tests.test_runner import CONFIG_TEMPLATE, make_dataset
+
+    cfg_text = CONFIG_TEMPLATE.format(
+        root=make_dataset(str(tmp_path / "data"), n_train=16, n_valid=8,
+                          n_test=2),
+        epochs=4,
+    ).replace(
+        "        label_smoothing: 0.0",
+        "        label_smoothing: 0.0\n        ctc_weight: 0.5",
+    ).replace(
+        "          d_model: 48\n          num_heads: 4\n"
+        "          num_layers: 2",
+        "          uni_direction: true\n"
+        "          d_model: 48\n          num_heads: 4\n"
+        "          num_layers: 2",
+    )
+    exp = str(tmp_path / "exp")
+    cfg_path = str(tmp_path / "exp_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+    args = runner.parse_args(
+        ["--config", cfg_path, "--train", "--result_path", exp,
+         "--time_bucket", "1600"])
+    runner.train_main(runner.merge_config(args), args)
+
+    # one test wav + 2 s of silence: the trained CTC model emits blanks
+    # there, so a 300 ms blank threshold must fire inside it
+    wav_scp = read_idx2data_file(
+        str(tmp_path / "data" / "test" / "idx2wav"))
+    idx, path = next(iter(wav_scp.items()))
+    wave, sr = read_data_by_path(path, return_sample_rate=True)
+    wave = np.concatenate([np.asarray(wave, np.float32).reshape(-1),
+                           np.zeros(2 * sr, np.float32)])
+    wpath = str(tmp_path / "padded.wav")
+    write_wav(wpath, wave, sr)
+    scp2 = str(tmp_path / "idx2wav_padded")
+    with open(scp2, "w") as f:
+        f.write(f"{idx} {wpath}\n")
+
+    out = str(tmp_path / "idx2text_ep")
+    stream_cli.main(["--config", cfg_path, "--result_path", exp,
+                     "--wav_scp", scp2, "--output", out,
+                     "--chunk_ms", "300", "--max_frames", "512",
+                     "--endpoint_blank_ms", "300", "--selftest"])
+    printed = capsys.readouterr().out
+    assert "endpointed at" in printed          # the signal fired
+    assert "selftest OK" in printed            # exact on consumed prefix
+    assert len(open(out).read().strip().splitlines()) == 1
