@@ -314,8 +314,18 @@ class StreamServer:
         self._frames: Dict[str, int] = {}
         self._tokens: Dict[str, List[int]] = {}
         self._done: Dict[str, List[int]] = {}
+        self._encf: Dict[str, int] = {}
+        self._tok_frames: Dict[str, List[int]] = {}
+        self._done_frames: Dict[str, List[int]] = {}
         self._S = S
         self._min_samples = pool.cfg.frontend.fft // 2 + 1
+
+    @property
+    def frame_seconds(self) -> float:
+        """Duration of one encoder output frame in seconds (token
+        timestamps are frame indices times this)."""
+        fe = self.pool.cfg.frontend
+        return self.pool.s_eff * fe.hop / fe.sr
 
     def open(self, uid: str) -> None:
         if uid in self._slot or uid in self._done:
@@ -329,6 +339,8 @@ class StreamServer:
         self._ended[uid] = False
         self._frames[uid] = 0
         self._tokens[uid] = []
+        self._encf[uid] = 0
+        self._tok_frames[uid] = []
 
     def feed(self, uid: str, samples) -> None:
         if self._ended[uid]:
@@ -367,6 +379,12 @@ class StreamServer:
     def result(self, uid: str) -> Optional[List[int]]:
         """Final token list once the stream has fully flushed, else None."""
         return self._done.get(uid)
+
+    def result_frames(self, uid: str) -> Optional[List[int]]:
+        """Per-token emission timestamps, parallel to :meth:`result`: the
+        global encoder-frame index where CTC emitted each token (seconds =
+        index * :attr:`frame_seconds`). None until the stream flushes."""
+        return self._done_frames.get(uid)
 
     @property
     def active(self) -> int:
@@ -420,6 +438,7 @@ class StreamServer:
         self.state, ids, emit = pool.tick(self.state, jnp.asarray(chunks),
                                           modes, tails)
         ids, emit = np.asarray(ids), np.asarray(emit)
+        j_after = np.asarray(self.state.enc_frames)
         runs = (np.asarray(self.state.blank_run)
                 if self._ep_frames is not None else None)
 
@@ -427,8 +446,14 @@ class StreamServer:
         for uid, b in list(self._slot.items()):
             if modes[b] == MODE_IDLE:
                 continue
-            new = ids[b][emit[b]].tolist()
+            pos = np.nonzero(emit[b])[0]
+            new = ids[b][pos].tolist()
             self._tokens[uid].extend(new)
+            # emission timestamps: tick-local positions are offsets from
+            # the stream's encoder frame count BEFORE this tick (START/
+            # ONESHOT rows reset to 0, matching open()'s init)
+            self._tok_frames[uid].extend((self._encf[uid] + pos).tolist())
+            self._encf[uid] = int(j_after[b])
             if new:
                 fresh[uid] = new
             if runs is not None and self._started[uid] and \
@@ -436,9 +461,10 @@ class StreamServer:
                 self._endpointed[uid] = True
             if uid in finishing:
                 self._done[uid] = self._tokens.pop(uid)
+                self._done_frames[uid] = self._tok_frames.pop(uid)
                 self._free.append(self._slot.pop(uid))
                 for d in (self._fifo, self._started, self._ended,
-                          self._frames, self._endpointed):
+                          self._frames, self._endpointed, self._encf):
                     d.pop(uid)
         return fresh
 

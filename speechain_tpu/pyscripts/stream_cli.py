@@ -51,6 +51,11 @@ def main(argv=None):
     p.add_argument("--wq_min_elems", type=int, default=8192,
                    help="quantize only weight leaves with at least this "
                         "many elements")
+    p.add_argument("--timestamps", action="store_true",
+                   help="report the emission time (seconds) of every "
+                        "token; with --output also writes an idx2time "
+                        "file of space-separated per-token seconds "
+                        "(pool path, i.e. implies it)")
     p.add_argument("--endpoint_blank_ms", type=float, default=None,
                    help="CTC endpointing: stop a stream once its trailing "
                         "run of blank encoder frames covers this many ms "
@@ -110,14 +115,20 @@ def main(argv=None):
     else:
         wavs = [(os.path.basename(w), w) for w in args.wav]
 
-    if args.concurrency > 1 or args.endpoint_blank_ms is not None:
-        # endpointing lives in the pool's tick, so that path serves it
-        # even at concurrency 1
-        results = _run_pool(args, net, net_cfg, variables, tokenizer, wavs,
-                            sr, chunk)
+    if args.concurrency > 1 or args.endpoint_blank_ms is not None \
+            or args.timestamps:
+        # endpointing/timestamps live in the pool's tick, so that path
+        # serves them even at concurrency 1
+        results, times = _run_pool(args, net, net_cfg, variables, tokenizer,
+                                   wavs, sr, chunk)
         if args.output:
             write_idx2data_file(results, args.output)
             print(f"wrote {len(results)} transcripts to {args.output}")
+            if args.timestamps:
+                write_idx2data_file(
+                    {k: " ".join(f"{t:.3f}" for t in v)
+                     for k, v in times.items()}, args.output + "_time")
+                print(f"wrote per-token seconds to {args.output}_time")
         return
 
     results = {}
@@ -198,7 +209,7 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
     min_samples = net_cfg.frontend.fft // 2 + 1
 
     pending = list(wavs)
-    loaded, results, dropped = {}, {}, {}
+    loaded, results, dropped, times = {}, {}, {}, {}
     while pending or server.active:
         # attach files while slots are free
         while pending and server.active < args.concurrency:
@@ -242,6 +253,13 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
                 continue
             results[idx] = tokenizer.tensor2text(np.asarray(toks))
             print(f"[{idx}] final: {results[idx]}", flush=True)
+            if args.timestamps:
+                times[idx] = [f * server.frame_seconds
+                              for f in server.result_frames(idx)]
+                stamped = " ".join(
+                    f"{tokenizer.tensor2text(np.asarray([t]))}@{s:.2f}s"
+                    for t, s in zip(toks, times[idx]))
+                print(f"[{idx}] times: {stamped}", flush=True)
             if args.selftest:
                 # with endpointing, the stream by design saw only the
                 # prefix up to the cut — selftest against that prefix
@@ -256,7 +274,7 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
                         f"offline {offline}")
                 print(f"[{idx}] selftest OK (stream == offline)", flush=True)
             del loaded[idx]
-    return results
+    return results, times
 
 
 if __name__ == "__main__":

@@ -185,6 +185,51 @@ def test_blank_run_tracks_offline_trailing_blanks():
     assert server.result("u") is not None
 
 
+def test_result_frames_match_offline_emit_positions():
+    """Per-token emission timestamps: the global encoder-frame index the
+    server records for every token must equal the position of that
+    token's emit in the offline greedy decode (causal model: prefix
+    stability makes them identical), across staggered concurrent streams
+    and slot reuse."""
+    import jax.numpy as jnp
+
+    from speechain_tpu.infer.stream_pool import StreamPool, StreamServer
+    from speechain_tpu.infer.streaming import ctc_greedy_offline
+
+    net, _ = _causal_asr()
+    _, _, variables = _init(net)
+    pool = StreamPool(net, variables, slots=2, chunk_samples=S,
+                      max_frames=256)
+    server = StreamServer(pool)
+    assert server.frame_seconds > 0
+
+    waves = _waves([2750, 1950, 3200], seed=17)   # 3 streams, 2 slots
+    pending = list(waves.items())
+    live = {}
+    got_f = {}
+    while pending or live:
+        while pending and server.active < 2:
+            u, w = pending.pop(0)
+            server.open(u)
+            server.feed(u, w)
+            server.end(u)
+            live[u] = True
+        server.step()
+        for u in list(live):
+            if server.result(u) is not None:
+                got_f[u] = (server.result(u), server.result_frames(u))
+                del live[u]
+
+    for u, w in waves.items():
+        ids, emit = ctc_greedy_offline(
+            net, variables, jnp.asarray(w)[None, :, None],
+            jnp.full((1,), len(w), jnp.int32))
+        toks, frames = got_f[u]
+        assert toks == ids[0][emit[0]].tolist(), u
+        assert frames == np.nonzero(np.asarray(emit[0]))[0].tolist(), u
+        assert len(frames) == len(toks)
+
+
 def test_cutoff_is_exact_on_consumed_prefix():
     """cutoff() (the endpointing action) must end the stream where it
     stands: the flushed result equals offline decode of exactly the

@@ -285,8 +285,14 @@ def test_stream_cli_endpointing(tmp_path, capsys):
     stream_cli.main(["--config", cfg_path, "--result_path", exp,
                      "--wav_scp", scp2, "--output", out,
                      "--chunk_ms", "300", "--max_frames", "512",
-                     "--endpoint_blank_ms", "300", "--selftest"])
+                     "--endpoint_blank_ms", "300", "--selftest",
+                     "--timestamps"])
     printed = capsys.readouterr().out
     assert "endpointed at" in printed          # the signal fired
     assert "selftest OK" in printed            # exact on consumed prefix
     assert len(open(out).read().strip().splitlines()) == 1
+    # --timestamps wrote per-token seconds, monotonic nondecreasing
+    tline = open(out + "_time").read().strip().splitlines()
+    assert len(tline) == 1
+    secs = [float(x) for x in tline[0].split()[1:]]
+    assert secs == sorted(secs)
