@@ -227,10 +227,11 @@ class StreamPool(_StreamBase):
 
         # --- causal encoder chunk, per-row KV-cache positions
         enc_out, cache_vars = self.net.apply(
-            {**variables, "cache": state.enc_cache}, pre, enc_frames,
-            method=lambda m, x, pos: m.encoder(
+            {**variables, "cache": state.enc_cache}, pre, enc_frames, n_new,
+            is_start,
+            method=lambda m, x, pos, adv, rst: m.encoder(
                 x, None, decode=True, cache_capacity=self.cap,
-                decode_position=pos),
+                decode_position=pos, decode_advance=adv, decode_reset=rst),
             mutable=["cache"])
         enc_feat = enc_out[0]                            # (B, mout, D)
 

@@ -106,12 +106,12 @@ class _StreamBase:
                  wq_min_elems: int = 8192):
         cfg = net.cfg
         fe = cfg.frontend
-        if cfg.encoder_type != "transformer" or \
+        if cfg.encoder_type not in ("transformer", "conformer") or \
                 not cfg.encoder.get("uni_direction", False):
             raise ValueError(
-                "streaming needs encoder_type='transformer' with "
-                "uni_direction=true (a causal encoder); a globally-attending "
-                "encoder cannot be streamed exactly")
+                "streaming needs encoder_type 'transformer' or 'conformer' "
+                "with uni_direction=true (a causal encoder); a globally-"
+                "attending encoder cannot be streamed exactly")
         if cfg.ctc_weight <= 0.0:
             raise ValueError("streaming decodes the CTC head; train the "
                              "model with ctc_weight > 0")
@@ -418,10 +418,10 @@ class StreamingASR(_StreamBase):
         # --- causal encoder chunk via the KV-cache decode path
         enc_out, cache_vars = self.net.apply(
             {**variables, "cache": state.enc_cache}, pre,
-            state.enc_frames,
-            method=lambda m, x, pos: m.encoder(
+            state.enc_frames, n_new,
+            method=lambda m, x, pos, adv: m.encoder(
                 x, None, decode=True, cache_capacity=self.cap,
-                decode_position=pos),
+                decode_position=pos, decode_advance=adv),
             mutable=["cache"])
         enc_feat = enc_out[0]                        # (B, mout, D)
 

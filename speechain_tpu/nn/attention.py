@@ -275,7 +275,16 @@ class RelPosMultiHeadedAttention(nn.Module):
     @nn.compact
     def __call__(self, q: Array, k: Array, v: Array,
                  mask: Optional[Array], posenc: Array, *,
-                 train: bool = False, return_attmat: bool = True):
+                 train: bool = False, return_attmat: bool = True,
+                 decode: bool = False, decode_index: Optional[Array] = None,
+                 cache_capacity: Optional[int] = None, prime: bool = False):
+        """``decode``: chunked KV-cached self-attention for streaming
+        (mirrors MultiHeadedAttention's decode mode — one K/V write per
+        chunk at scalar or per-row ``decode_index``). ``posenc`` must then
+        be the CAUSAL band from RelPositionalEncoding(decode_cap=cap):
+        (1, cap, D) rows for relative distances [cap-1 .. 0]; the
+        Transformer-XL rel_shift is replaced by a per-(query,key) gather
+        of distance ``index + i - k``."""
         dense = lambda name: nn.DenseGeneral(
             features=self.d_model, dtype=self.dtype, name=name)
         split = lambda x: x.reshape(
@@ -326,13 +335,78 @@ class RelPosMultiHeadedAttention(nn.Module):
         ph = p.reshape(p.shape[0], p.shape[1], self.num_heads,
                        self.head_size).transpose(0, 2, 1, 3)  # (1,H,2T-1,Dh)
 
-        q_u = qh + pos_bias_u[None, :, None, :].astype(qh.dtype)
-        q_v = qh + pos_bias_v[None, :, None, :].astype(qh.dtype)
-        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, kh,
-                               preferred_element_type=jnp.float32)
-        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, ph,
-                               preferred_element_type=jnp.float32)
-        matrix_bd = rel_shift(matrix_bd)
+        if decode:
+            # KV cache write — same static-capacity buffers and per-row
+            # position semantics as MultiHeadedAttention decode mode
+            B = qh.shape[0]
+            cap = int(cache_capacity) if cache_capacity else 0
+            cap_k = self.variable(
+                "cache", "cached_key",
+                jnp.zeros, (B, self.num_heads, cap, self.head_size),
+                self.dtype)
+            cap_v = self.variable(
+                "cache", "cached_value",
+                jnp.zeros, (B, self.num_heads, cap, self.head_size),
+                self.dtype)
+            if cap_k.value.shape[2] == 0:
+                raise ValueError(
+                    "decode=True requires an initialized cache; run a "
+                    "priming pass with prime=True and cache_capacity set")
+            Tq, Tk = qh.shape[2], cap_k.value.shape[2]
+            if posenc.shape[1] != Tk:
+                raise ValueError(
+                    f"decode posenc must cover distances [cap-1..0]: got "
+                    f"{posenc.shape[1]} rows for capacity {Tk}")
+            index = jnp.asarray(
+                jnp.zeros((), jnp.int32) if decode_index is None
+                else decode_index, jnp.int32)
+            per_row = index.ndim == 1
+            if not prime:
+                if per_row:
+                    write = jax.vmap(lambda c, n, i:
+                                     jax.lax.dynamic_update_slice(
+                                         c, n, (0, i, 0)))
+                    kh = write(cap_k.value, kh.astype(self.dtype), index)
+                    vh = write(cap_v.value, vh.astype(self.dtype), index)
+                else:
+                    kh = jax.lax.dynamic_update_slice(
+                        cap_k.value, kh.astype(self.dtype), (0, 0, index, 0))
+                    vh = jax.lax.dynamic_update_slice(
+                        cap_v.value, vh.astype(self.dtype), (0, 0, index, 0))
+                cap_k.value, cap_v.value = kh, vh
+            else:
+                kh, vh = cap_k.value, cap_v.value
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, Tq, Tk), 2)
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, Tq, Tk), 1)
+            off = index[:, None, None] if per_row else index
+            step_mask = pos <= off + row                 # (1|B, Tq, Tk)
+            mask = step_mask if mask is None else (mask & step_mask)
+
+            q_u = qh + pos_bias_u[None, :, None, :].astype(qh.dtype)
+            q_v = qh + pos_bias_v[None, :, None, :].astype(qh.dtype)
+            matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, kh,
+                                   preferred_element_type=jnp.float32)
+            # bd against ALL distances, then gather each (query i, key k)
+            # pair's distance index + i - k (ph row Tk-1-d holds distance
+            # d); clamped indices only survive where step_mask is False
+            bd_full = jnp.einsum("bhqd,bhkd->bhqk", q_v, ph,
+                                 preferred_element_type=jnp.float32)
+            d = jnp.clip(off + row - pos, 0, Tk - 1)     # (1|B, Tq, Tk)
+            gidx = jnp.broadcast_to(
+                (Tk - 1 - d)[:, None],
+                (qh.shape[0], self.num_heads, Tq, Tk))
+            matrix_bd = jnp.take_along_axis(
+                jnp.broadcast_to(bd_full,
+                                 (qh.shape[0], self.num_heads, Tq, Tk)),
+                gidx, axis=-1)
+        else:
+            q_u = qh + pos_bias_u[None, :, None, :].astype(qh.dtype)
+            q_v = qh + pos_bias_v[None, :, None, :].astype(qh.dtype)
+            matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, kh,
+                                   preferred_element_type=jnp.float32)
+            matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, ph,
+                                   preferred_element_type=jnp.float32)
+            matrix_bd = rel_shift(matrix_bd)
 
         scale = (1.0 / math.sqrt(self.head_size) if self.scale_dp_by_head
                  else 1.0 / math.sqrt(self.d_model))

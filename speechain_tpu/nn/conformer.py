@@ -49,6 +49,7 @@ class DepthwiseConv1d(nn.Module):
     channels: int
     kernel_size: int
     dtype: jnp.dtype = jnp.float32
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -57,7 +58,10 @@ class DepthwiseConv1d(nn.Module):
                             (K, 1, C), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         T = x.shape[1]
-        pad_lo, pad_hi = (K - 1) // 2, K // 2          # XLA SAME padding
+        if self.causal:
+            pad_lo, pad_hi = K - 1, 0      # left-only: frame t sees <= t
+        else:
+            pad_lo, pad_hi = (K - 1) // 2, K // 2      # XLA SAME padding
         xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
         w = kernel[:, 0, :].astype(self.dtype)
         out = xp[:, 0:T, :] * w[0]
@@ -151,11 +155,29 @@ class ConvolutionModule(nn.Module):
     depthwise_kernel_size: int = 31
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, feat: Array, *, train: bool = False) -> Array:
+    def __call__(self, feat: Array, *, train: bool = False,
+                 decode: bool = False, prime: bool = False,
+                 decode_advance: Optional[Array] = None,
+                 decode_reset: Optional[Array] = None) -> Array:
+        """``decode``: streaming chunk mode — the depthwise conv's K-1
+        left-context frames (post-GLU) carry across calls in a 'cache'
+        variable. Zero-init equals the causal left padding, so chunked
+        output is bit-equal to offline causal conv. ``decode_advance``:
+        per-row count of VALID frames this chunk (rows are valid-first);
+        the context window slides by that amount. None = whole chunk.
+        ``decode_reset``: (B,) bool — rows starting a NEW stream in a
+        reused slot must drop the previous occupant's context (unlike the
+        KV cache, a sliding window is not healed by position overwrite)."""
+        if decode:
+            if not self.causal:
+                raise ValueError("conv-module decode requires causal=True")
+            return self._decode(feat, prime=prime, advance=decode_advance,
+                                reset=decode_reset)
         # (B, T, C); channels-last throughout (flax conv convention)
-        if _convmod_fused_ok(feat, self.channels):
+        if not self.causal and _convmod_fused_ok(feat, self.channels):
             # one VMEM-resident pass: pointwise matmul + GLU + depthwise
             # + BatchNorm batch moments (ops/pallas_convmod.py); the
             # (B, T, 2C) pointwise output never touches HBM
@@ -177,13 +199,57 @@ class ConvolutionModule(nn.Module):
             x = jax.nn.glu(x, axis=-1)
             x = DepthwiseConv1d(channels=self.channels,
                                 kernel_size=self.depthwise_kernel_size,
-                                dtype=self.dtype, name="depthwise_conv")(x)
+                                dtype=self.dtype, causal=self.causal,
+                                name="depthwise_conv")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              axis_name=self.bn_axis_name,
                              name="batch_norm")(x)
         x = jax.nn.silu(x)
         x = nn.Conv(self.channels, kernel_size=(1,), padding="VALID",
+                    dtype=self.dtype, name="pointwise_conv2")(x)
+        return x
+
+    def _decode(self, feat: Array, *, prime: bool,
+                advance: Optional[Array],
+                reset: Optional[Array]) -> Array:
+        B, T, C = feat.shape
+        K = self.depthwise_kernel_size
+        ctx = self.variable("cache", "conv_context",
+                            jnp.zeros, (B, K - 1, C), self.dtype)
+        ctx_val = ctx.value
+        if reset is not None:
+            ctx_val = jnp.where(
+                jnp.asarray(reset).reshape(B, 1, 1), 0.0, ctx_val)
+        x = nn.Conv(2 * C, kernel_size=(1,), padding="VALID",
+                    dtype=self.dtype, name="pointwise_conv1")(feat)
+        xg = jax.nn.glu(x, axis=-1)                       # (B, T, C)
+        xcat = jnp.concatenate([ctx_val, xg.astype(self.dtype)], 1)
+        # valid (no-pad) depthwise conv over [context | chunk]: output t
+        # consumes xcat[t .. t+K-1] == causal window ending at chunk t
+        dw = DepthwiseConv1d(channels=C, kernel_size=K, dtype=self.dtype,
+                             causal=True, name="depthwise_conv")
+        # reuse the module's params but run the valid conv inline: causal
+        # DepthwiseConv1d(xcat) computes left-padded outputs for ALL
+        # K-1+T positions; rows K-1.. are exactly the valid-window outputs
+        x = dw(xcat)[:, K - 1:, :]                        # (B, T, C)
+        if not prime:
+            # slide the context by this chunk's valid frame count; rows
+            # are valid-first, so garbage frames (>= advance) never enter
+            if advance is None:
+                new_ctx = xcat[:, T:, :]
+            else:
+                adv = jnp.asarray(advance, jnp.int32)
+                adv = jnp.broadcast_to(adv, (B,))
+                new_ctx = jax.vmap(
+                    lambda xc, a: jax.lax.dynamic_slice(
+                        xc, (a, 0), (K - 1, C)))(xcat, adv)
+            ctx.value = new_ctx
+        x = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         name="batch_norm")(x)
+        x = jax.nn.silu(x)
+        x = nn.Conv(C, kernel_size=(1,), padding="VALID",
                     dtype=self.dtype, name="pointwise_conv2")(x)
         return x
 
@@ -203,10 +269,15 @@ class ConformerEncoderLayer(nn.Module):
     scale_dp_by_head: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    causal: bool = False
 
     @nn.compact
     def __call__(self, src: Array, mask: Optional[Array], posenc: Array, *,
-                 train: bool = False, return_attmat: bool = True):
+                 train: bool = False, return_attmat: bool = True,
+                 decode: bool = False, decode_index: Optional[Array] = None,
+                 cache_capacity: Optional[int] = None, prime: bool = False,
+                 decode_advance: Optional[Array] = None,
+                 decode_reset: Optional[Array] = None):
         drop = nn.Dropout(self.res_dropout, deterministic=not train)
         ffn = lambda name: PositionwiseFeedForward(
             d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
@@ -233,7 +304,9 @@ class ConformerEncoderLayer(nn.Module):
             d_model=self.d_model, num_heads=self.num_heads,
             dropout=self.att_dropout, scale_dp_by_head=self.scale_dp_by_head,
             dtype=self.dtype, name="relpos_mha",
-        )(y, y, y, mask, posenc, train=train, return_attmat=return_attmat)
+        )(y, y, y, mask, posenc, train=train, return_attmat=return_attmat,
+          decode=decode, decode_index=decode_index,
+          cache_capacity=cache_capacity, prime=prime)
         y = drop(mha_hidden) + x
         if not self.layernorm_first:
             y = ln_mha(y)
@@ -244,7 +317,10 @@ class ConformerEncoderLayer(nn.Module):
             channels=self.d_model,
             depthwise_kernel_size=self.depthwise_kernel_size,
             dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-            name="conv_module")(z, train=train)) + y
+            causal=self.causal,
+            name="conv_module")(z, train=train, decode=decode, prime=prime,
+                                decode_advance=decode_advance,
+                                decode_reset=decode_reset)) + y
         if not self.layernorm_first:
             z = ln_conv(z)
 
@@ -283,20 +359,54 @@ class ConformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
     remat: bool = False
+    uni_direction: bool = False
 
     @nn.compact
     def __call__(self, src: Array, mask: Optional[Array], *,
                  train: bool = False, return_attmat: bool = False,
-                 return_hidden: bool = False):
+                 return_hidden: bool = False, decode: bool = False,
+                 cache_capacity: Optional[int] = None, prime: bool = False,
+                 decode_position: Optional[Array] = None,
+                 decode_advance: Optional[Array] = None,
+                 decode_reset: Optional[Array] = None):
+        """``uni_direction``: causal conformer — subsequent-masked rel-pos
+        MHA + left-padded (causal) convolution modules; BatchNorm is
+        unchanged (training sees whole utterances; eval uses running
+        stats, which stream exactly). ``decode``: chunked KV-cached
+        streaming mode mirroring TransformerEncoder — per-layer K/V
+        caches + conv left-context caches live in the 'cache' collection,
+        positions driven via ``decode_position`` (scalar or per-row),
+        ``decode_advance`` = per-row VALID frame count of this chunk."""
         # Rematerialize each layer in the backward pass (jax.checkpoint via
         # nn.remat): trades recompute FLOPs for live-activation HBM — the
         # lever for large-batch working-set spills. Only engages when the
         # caller doesn't need per-layer extras (those would defeat it).
-        use_remat = self.remat and not (return_attmat or return_hidden)
-        src, posenc = RelPositionalEncoding(
-            d_model=self.d_model, dropout=self.posenc_dropout,
-            max_len=self.posenc_maxlen, name="posenc",
-        )(src, train=train)
+        use_remat = self.remat and not (return_attmat or return_hidden
+                                        or decode or prime)
+        if decode:
+            assert self.uni_direction, "decode mode implies causal encoder"
+            if not cache_capacity:
+                raise ValueError("decode needs cache_capacity")
+            pos_var = self.variable("cache", "position",
+                                    lambda: jnp.zeros((), jnp.int32))
+            src, posenc = RelPositionalEncoding(
+                d_model=self.d_model, dropout=self.posenc_dropout,
+                max_len=self.posenc_maxlen, name="posenc",
+            )(src, train=train, decode_cap=int(cache_capacity))
+            if not prime and decode_position is None:
+                decode_position = pos_var.value
+                pos_var.value = pos_var.value + src.shape[1]
+        else:
+            src, posenc = RelPositionalEncoding(
+                d_model=self.d_model, dropout=self.posenc_dropout,
+                max_len=self.posenc_maxlen, name="posenc",
+            )(src, train=train)
+        if self.uni_direction and not decode:
+            # materialize the causal band into the mask (the rel-pos MHA
+            # applies masks directly; no flag path like the std MHA)
+            from speechain_tpu.utils.masks import subsequent_mask
+            cm = subsequent_mask(src.shape[1])
+            mask = cm if mask is None else (mask & cm)
 
         attmats, hiddens = [], []
         for i in range(self.num_layers):
@@ -311,7 +421,8 @@ class ConformerEncoder(nn.Module):
                 res_dropout=self.res_dropout,
                 layernorm_first=self.layernorm_first,
                 scale_dp_by_head=self.scale_dp_by_head, dtype=self.dtype,
-                bn_axis_name=self.bn_axis_name, name=f"layer_{i}",
+                bn_axis_name=self.bn_axis_name, causal=self.uni_direction,
+                name=f"layer_{i}",
             )
             if use_remat:
                 src = nn.remat(
@@ -320,8 +431,13 @@ class ConformerEncoder(nn.Module):
                 )(layer, src, mask, posenc)
                 attmat = None
             else:
-                src, attmat = layer(src, mask, posenc, train=train,
-                                    return_attmat=return_attmat)
+                src, attmat = layer(
+                    src, mask if not decode else None, posenc, train=train,
+                    return_attmat=return_attmat, decode=decode,
+                    decode_index=decode_position if decode else None,
+                    cache_capacity=cache_capacity, prime=prime,
+                    decode_advance=decode_advance,
+                    decode_reset=decode_reset)
             if return_attmat:
                 attmats.append(attmat)
             if return_hidden:

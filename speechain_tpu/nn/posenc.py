@@ -111,7 +111,14 @@ class RelPositionalEncoding(nn.Module):
     max_len: int = 5000
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 decode_cap: int = 0):
+        """``decode_cap > 0``: cached/streaming decode — instead of the
+        bidirectional [L-1 .. -(L-1)] band, return pos_emb rows for the
+        NON-NEGATIVE relative distances [decode_cap-1 .. 0] (a causal
+        query only looks back); row r holds distance decode_cap-1-r, the
+        same sinusoid values the offline band assigns that distance, so
+        chunked decode scores match offline exactly."""
         # build a 2*max_len-1 table: rows are positions +max..-max
         pos = np.arange(self.max_len - 1, -self.max_len, -1, dtype=np.float64)[:, None]
         div_term = np.exp(
@@ -123,9 +130,16 @@ class RelPositionalEncoding(nn.Module):
         table[:, 1::2] = np.cos(pos * div_term)
         table = jnp.asarray(table.astype(np.float32))
 
-        L = x.shape[1]
         x = x * math.sqrt(self.d_model)
         center = self.max_len - 1
-        pos_emb = table[None, center - (L - 1): center + L]
+        if decode_cap:
+            if decode_cap > self.max_len:
+                raise ValueError(
+                    f"decode_cap={decode_cap} exceeds posenc max_len="
+                    f"{self.max_len}")
+            pos_emb = table[None, center - (decode_cap - 1): center + 1]
+        else:
+            L = x.shape[1]
+            pos_emb = table[None, center - (L - 1): center + L]
         drop = nn.Dropout(self.dropout, deterministic=not train)
         return drop(x), drop(pos_emb.astype(x.dtype))

@@ -130,7 +130,14 @@ class TransformerEncoder(nn.Module):
                  train: bool = False, return_attmat: bool = False,
                  return_hidden: bool = False, decode: bool = False,
                  cache_capacity: Optional[int] = None, prime: bool = False,
-                 decode_position: Optional[Array] = None):
+                 decode_position: Optional[Array] = None,
+                 decode_advance: Optional[Array] = None,
+                 decode_reset: Optional[Array] = None):
+        # decode_advance/decode_reset: accepted for interface parity with
+        # ConformerEncoder (whose conv caches slide by the valid count and
+        # reset on slot reuse); the KV cache needs only positions — stale
+        # rows are healed by position overwrite — so both are unused here
+        del decode_advance, decode_reset
         posenc = PositionalEncoding(
             d_model=self.d_model, posenc_type=self.posenc_type,
             emb_layernorm=self.emb_layernorm, emb_scale=self.emb_scale,

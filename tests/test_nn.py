@@ -103,6 +103,58 @@ def test_conformer_shapes():
     assert out.shape == (B, T, D)
 
 
+def test_conformer_unidirectional_is_causal():
+    """uni_direction=True must make the conformer causal end to end:
+    subsequent-masked rel-pos attention AND a left-padded conv module —
+    eval outputs at frame t are independent of frames > t. The default
+    (bidirectional) conformer must NOT pass the same lesion."""
+    B, T, D = 1, 12, 32
+    x = jax.random.normal(RNG, (B, T, D))
+    x2 = x.at[:, 6:].set(
+        jax.random.normal(jax.random.PRNGKey(9), (B, 6, D)))
+
+    conf = ConformerEncoder(d_model=D, num_heads=4, num_layers=2,
+                            fdfwd_dim=64, depthwise_kernel_size=5,
+                            uni_direction=True)
+    cvars = conf.init({"params": RNG}, x, None)
+    out1, *_ = conf.apply(cvars, x, None, mutable=["batch_stats"])[0]
+    out2, *_ = conf.apply(cvars, x2, None, mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(out1[:, :6]),
+                               np.asarray(out2[:, :6]), atol=1e-5)
+
+    bi = ConformerEncoder(d_model=D, num_heads=4, num_layers=2,
+                          fdfwd_dim=64, depthwise_kernel_size=5)
+    bvars = bi.init({"params": RNG}, x, None)
+    b1, *_ = bi.apply(bvars, x, None, mutable=["batch_stats"])[0]
+    b2, *_ = bi.apply(bvars, x2, None, mutable=["batch_stats"])[0]
+    assert np.abs(np.asarray(b1[:, :6] - b2[:, :6])).max() > 1e-3
+
+
+def test_conformer_causal_grads_flow():
+    """A train-mode pass of the causal conformer must produce finite
+    gradients for every parameter (the streaming serving path trains
+    with uni_direction=true)."""
+    B, T, D = 2, 16, 32
+    conf = ConformerEncoder(d_model=D, num_heads=4, num_layers=2,
+                            fdfwd_dim=64, depthwise_kernel_size=5,
+                            uni_direction=True, res_dropout=0.0,
+                            att_dropout=0.0, fdfwd_dropout=0.0,
+                            posenc_dropout=0.0)
+    x = jax.random.normal(RNG, (B, T, D))
+    cvars = conf.init({"params": RNG}, x, None)
+
+    def loss(params):
+        out, *_ = conf.apply({**cvars, "params": params}, x, None,
+                             train=True, mutable=["batch_stats"])[0]
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(cvars["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    nonzero = sum(bool(jnp.any(g != 0)) for g in leaves)
+    assert nonzero >= len(leaves) - 2     # (biases may be zero-grad)
+
+
 def test_conv2d_prenet_downsamples_4x():
     B, T, F = 2, 53, 80
     pre = Conv2dPrenet(conv_dims=[64, 64], lnr_dims=256)

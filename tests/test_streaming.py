@@ -14,11 +14,15 @@ RNG = jax.random.PRNGKey(11)
 D = 32
 
 
-def _causal_asr(feat_norm=True):
+def _causal_asr(feat_norm=True, encoder_type="transformer"):
     from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet
     from speechain_tpu.ops.feat_norm import FeatNormConfig
     from speechain_tpu.ops.frontend import FrontendConfig
 
+    encoder = dict(d_model=D, num_heads=4, num_layers=2, fdfwd_dim=64,
+                   uni_direction=True)
+    if encoder_type == "conformer":
+        encoder["depthwise_kernel_size"] = 7
     cfg = ARASRConfig(
         vocab_size=16,
         frontend=FrontendConfig(n_mels=20, sr=8000, win_length=0.02,
@@ -26,18 +30,19 @@ def _causal_asr(feat_norm=True):
         feat_norm=FeatNormConfig(feat_dim=20) if feat_norm else None,
         enc_prenet=dict(conv_dims=[16, 16], conv_kernel=3, conv_stride=2,
                         lnr_dims=D),
-        encoder_type="transformer",
-        encoder=dict(d_model=D, num_heads=4, num_layers=2, fdfwd_dim=64,
-                     uni_direction=True),
+        encoder_type=encoder_type,
+        encoder=encoder,
         dec_emb=dict(embedding_dim=D),
         decoder=dict(d_model=D, num_heads=4, num_layers=1, fdfwd_dim=64),
         ctc_weight=0.5)
     return ARASRNet(cfg=cfg), cfg
 
 
-def _init(net, n_wave=2750):
+def _init(net, n_wave=2750, amp=0.2):
+    # amp: random conformers are blank-dominated at low input energy —
+    # their non-vacuous (token-emitting) tests need amp >= 1.0
     B = 2
-    wave = jax.random.normal(RNG, (B, n_wave)) * 0.2
+    wave = jax.random.normal(RNG, (B, n_wave)) * amp
     wave_len = jnp.full((B,), n_wave, jnp.int32)
     text = jnp.array([[1, 3, 4, 2], [1, 5, 6, 2]], jnp.int32)
     text_len = jnp.full((B,), 4, jnp.int32)
@@ -78,18 +83,22 @@ def _offline_tokens(net, variables, wave, wave_len):
     return [ids[b][emit[b]].tolist() for b in range(ids.shape[0])]
 
 
-@pytest.mark.parametrize("tail_len", [350, 0])
-def test_streaming_matches_offline(tail_len):
+@pytest.mark.parametrize("tail_len,encoder_type", [
+    (350, "transformer"), (0, "transformer"),
+    (350, "conformer"), (0, "conformer")])
+def test_streaming_matches_offline(tail_len, encoder_type):
     from speechain_tpu.infer.streaming import StreamingASR
 
-    net, cfg = _causal_asr()
+    net, cfg = _causal_asr(encoder_type=encoder_type)
     n_wave = 2400 + tail_len
-    wave, wave_len, variables = _init(net, n_wave)
+    wave, wave_len, variables = _init(
+        net, n_wave, amp=1.0 if encoder_type == "conformer" else 0.2)
     stream = StreamingASR(net, variables, chunk_samples=800, max_frames=256)
 
     got, state = _stream_tokens(stream, wave, 800, tail_len)
     want = _offline_tokens(net, variables, wave, wave_len)
     assert got == want, (got, want)
+    assert sum(len(t) for t in want) > 0   # non-vacuous: tokens emitted
 
     # the stream saw exactly the offline encoder frame count
     enc_feat, enc_len, _, _ = net.apply(
@@ -128,9 +137,12 @@ def test_streaming_rejects_unstreamable_configs():
         encoder=dict(d_model=D, num_heads=4, num_layers=2, fdfwd_dim=64)))
     with pytest.raises(ValueError, match="uni_direction"):
         StreamingASR(bad, variables, chunk_samples=800)
-    # conformer
-    bad = ARASRNet(cfg=net.cfg.replace(encoder_type="conformer"))
-    with pytest.raises(ValueError, match="causal"):
+    # non-causal conformer (causal conformers stream; see
+    # test_streaming_conformer_matches_offline)
+    bad = ARASRNet(cfg=net.cfg.replace(
+        encoder_type="conformer",
+        encoder=dict(net.cfg.encoder, uni_direction=False)))
+    with pytest.raises(ValueError, match="uni_direction"):
         StreamingASR(bad, variables, chunk_samples=800)
     # no CTC head
     bad = ARASRNet(cfg=net.cfg.replace(ctc_weight=0.0))
