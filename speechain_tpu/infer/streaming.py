@@ -73,6 +73,8 @@ class StreamState(NamedTuple):
     enc_frames: Array      # () prenet/encoder frames emitted so far (= J)
     enc_cache: Any         # flax 'cache' collection of the causal encoder
     ctc_prev: Array        # (B,) last argmax id (greedy collapse carry)
+    beam: Any = None       # PrefixBeamState when beam_size > 0
+    enc_buf: Any = None    # (B, cap, D) encoder outputs when rescore=True
 
 
 def _conv_time_geometry(prenet_conf: Dict[str, Any]) -> Tuple[int, int, int]:
@@ -103,9 +105,16 @@ class _StreamBase:
     def __init__(self, net, variables: Dict[str, Any], *,
                  chunk_samples: int, max_frames: int = 4096,
                  weight_quant: Optional[str] = None,
-                 wq_min_elems: int = 8192):
+                 wq_min_elems: int = 8192,
+                 beam_size: int = 0, beam_prune: int = 8,
+                 max_text_len: int = 128, rescore: bool = False,
+                 rescore_weight: float = 0.3,
+                 sos_eos: Optional[int] = None):
         cfg = net.cfg
         fe = cfg.frontend
+        if rescore and beam_size <= 0:
+            raise ValueError("rescore=True needs beam_size > 0 (the "
+                             "attention pass rescores the CTC n-best)")
         if cfg.encoder_type not in ("transformer", "conformer") or \
                 not cfg.encoder.get("uni_direction", False):
             raise ValueError(
@@ -149,6 +158,15 @@ class _StreamBase:
         self.melbuf = max(self.pw, self.maxf + self.recept + self.s_eff)
         self.cap = max_frames                         # encoder KV capacity
         self.n_mels = fe.n_mels
+        # first-pass prefix beam + optional second-pass attention rescoring
+        self.beam_size = int(beam_size)
+        self.beam_prune = int(beam_prune)
+        self.max_text_len = int(max_text_len)
+        self.rescore = bool(rescore)
+        self.rescore_weight = float(rescore_weight)
+        self.sos_eos = (cfg.vocab_size - 1) if sos_eos is None else int(
+            sos_eos)
+        self._rescore_fn = None                       # lazily jitted
 
         window = hann_window(fe.win)
         self._basis = jnp.asarray(dft_filterbank(
@@ -275,12 +293,9 @@ class StreamingASR(_StreamBase):
     """
 
     def __init__(self, net, variables: Dict[str, Any], *,
-                 chunk_samples: int, max_frames: int = 4096,
-                 weight_quant: Optional[str] = None,
-                 wq_min_elems: int = 8192):
+                 chunk_samples: int, max_frames: int = 4096, **kwargs):
         super().__init__(net, variables, chunk_samples=chunk_samples,
-                         max_frames=max_frames, weight_quant=weight_quant,
-                         wq_min_elems=wq_min_elems)
+                         max_frames=max_frames, **kwargs)
         # one executable per call type; state is donated every call and
         # the (possibly int8) variable tree rides along as an argument
         self._start = jax.jit(partial(self._call, mode="start"),
@@ -295,6 +310,14 @@ class StreamingASR(_StreamBase):
     def reset(self, batch_size: int) -> StreamState:
         B, D = batch_size, self.n_mels
         cache = self._prime_cache(B)
+        beam = enc_buf = None
+        if self.beam_size > 0:
+            from speechain_tpu.infer.ctc_prefix_beam import prefix_beam_init
+            beam = prefix_beam_init(B, self.beam_size, self.max_text_len)
+        if self.rescore:
+            d_enc = self.cfg.encoder["d_model"]
+            enc_buf = jnp.zeros((B, self.cap + self.mout, d_enc),
+                                jnp.float32)
         return StreamState(
             preemph_carry=jnp.zeros((B, 1), jnp.float32),
             wave_tail=jnp.zeros((B, self.cfg.frontend.fft), jnp.float32),
@@ -304,6 +327,8 @@ class StreamingASR(_StreamBase):
             enc_frames=jnp.zeros((), jnp.int32),
             enc_cache=cache,
             ctc_prev=jnp.zeros((batch_size,), jnp.int32),
+            beam=beam,
+            enc_buf=enc_buf,
         )
 
     def start(self, state: StreamState, chunk: Array):
@@ -322,6 +347,82 @@ class StreamingASR(_StreamBase):
         count (0 is fine). Materializes the right reflect pad."""
         return self._finish(self.exec_variables, state, tail,
                             jnp.asarray(tail_len, jnp.int32))
+
+    def final_nbest(self, state: StreamState,
+                    rescore: Optional[bool] = None) -> Dict[str, np.ndarray]:
+        """N-best of the first-pass prefix beam (``beam_size > 0``),
+        optionally rescored by the attention decoder over the accumulated
+        encoder output (``rescore=True`` at build time) — the two-pass
+        (streaming CTC partials -> attention final) serving recipe.
+
+        Read-only on ``state``; callable mid-stream or after ``finish``.
+        Returns numpy ``tokens (B, W, Lmax)``, ``lengths (B, W)``,
+        ``ctc_score``, ``score`` (and ``att_score`` when rescoring),
+        each row sorted best-first by ``score``.
+        """
+        if self.beam_size <= 0:
+            raise ValueError("build the stream with beam_size > 0 to use "
+                             "final_nbest")
+        from speechain_tpu.infer.ctc_prefix_beam import prefix_beam_scores
+        do_rescore = self.rescore if rescore is None else bool(rescore)
+        if do_rescore and not self.rescore:
+            raise ValueError("rescore needs the stream built with "
+                             "rescore=True (it accumulates encoder output)")
+        tokens = np.asarray(state.beam.tokens)
+        lengths = np.asarray(state.beam.length)
+        ctc = np.asarray(prefix_beam_scores(state.beam))
+        if not do_rescore:
+            # beams leave prefix_beam_update sorted best-first already
+            return dict(tokens=tokens, lengths=lengths, ctc_score=ctc,
+                        score=ctc)
+        if self._rescore_fn is None:
+            self._rescore_fn = self._build_rescore_fn()
+        att = np.asarray(self._rescore_fn(
+            self.exec_variables, state.enc_buf, state.enc_frames,
+            state.beam.tokens, state.beam.length))
+        w = self.rescore_weight
+        score = w * ctc + (1.0 - w) * att
+        order = np.argsort(-score, axis=1)
+        bi = np.arange(score.shape[0])[:, None]
+        return dict(tokens=tokens[bi, order], lengths=lengths[bi, order],
+                    ctc_score=ctc[bi, order], att_score=att[bi, order],
+                    score=score[bi, order])
+
+    def _build_rescore_fn(self):
+        from speechain_tpu.infer.quantize import dequantize_variables
+        from speechain_tpu.utils.masks import make_mask_from_len
+        sos = self.sos_eos
+
+        @jax.jit
+        def fn(variables, enc_buf, enc_len, tokens, length):
+            variables = dequantize_variables(variables)
+            base = {k: v for k, v in variables.items() if k != "cache"}
+            B, W, Lm = tokens.shape
+            BW = B * W
+            tt = tokens.reshape(BW, Lm)
+            ll = length.reshape(BW)
+            # [sos, prefix..., eos, 0...] — teacher-forced scoring format
+            # (models/ar_asr.py decode: input text[:, :-1], tgt text[:, 1:])
+            text = jnp.zeros((BW, Lm + 2), jnp.int32).at[:, 0].set(sos)
+            text = text.at[:, 1:Lm + 1].set(tt)
+            pos = jnp.arange(Lm + 2)[None, :]
+            text = jnp.where(pos == (ll + 1)[:, None], sos, text)
+            text = jnp.where(pos > (ll + 1)[:, None], 0, text)
+            text_len = ll + 2
+            enc = jnp.repeat(enc_buf.astype(self.cfg.dtype), W, axis=0)
+            enc_mask = make_mask_from_len(
+                jnp.full((BW,), enc_len, jnp.int32), enc.shape[1])
+            logits, *_ = self.net.apply(base, enc, enc_mask, text, text_len,
+                                        method=self.net.decode)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            tgt = text[:, 1:]
+            lp = jnp.take_along_axis(logp[:, :tgt.shape[1]], tgt[..., None],
+                                     -1)[..., 0]
+            m = jnp.arange(tgt.shape[1])[None, :] < (text_len - 1)[:, None]
+            att = jnp.sum(jnp.where(m, lp, 0.0), -1)
+            return att.reshape(B, W)
+
+        return fn
 
     # ------------------------------------------------------- the chunk fn
 
@@ -437,6 +538,32 @@ class StreamingASR(_StreamBase):
         last_idx = jnp.maximum(n_new - 1, 0)
         new_prev = jnp.where(n_new > 0, ids[:, last_idx], state.ctc_prev)
 
+        # --- first-pass prefix beam over this chunk's valid frames
+        new_beam = state.beam
+        if self.beam_size > 0:
+            from speechain_tpu.infer.ctc_prefix_beam import \
+                prefix_beam_update
+            logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32).at[..., self.sos_eos].set(
+                    -1e30), -1)
+
+            def bbody(bs, t):
+                ok = jnp.broadcast_to(t < n_new, (B,))
+                return prefix_beam_update(bs, logp[:, t], valid=ok,
+                                          prune=self.beam_prune), None
+
+            new_beam, _ = jax.lax.scan(bbody, state.beam,
+                                       jnp.arange(self.mout))
+
+        # --- accumulate encoder output for second-pass rescoring
+        new_enc_buf = state.enc_buf
+        if self.rescore:
+            # garbage rows past n_new are overwritten by the next chunk's
+            # write (it starts at j_new); the rescorer masks past j_final
+            new_enc_buf = jax.lax.dynamic_update_slice(
+                state.enc_buf, enc_feat.astype(jnp.float32),
+                (0, state.enc_frames, 0))
+
         new_state = StreamState(
             preemph_carry=carry,
             wave_tail=jnp.concatenate([state.wave_tail, y], 1)[:, -n_fft:],
@@ -446,6 +573,8 @@ class StreamingASR(_StreamBase):
             enc_frames=j_new,
             enc_cache=cache_vars["cache"],
             ctc_prev=new_prev,
+            beam=new_beam,
+            enc_buf=new_enc_buf,
         )
         return new_state, ids, emit
 

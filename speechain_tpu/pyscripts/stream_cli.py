@@ -56,6 +56,18 @@ def main(argv=None):
                         "token; with --output also writes an idx2time "
                         "file of space-separated per-token seconds "
                         "(pool path, i.e. implies it)")
+    p.add_argument("--beam", type=int, default=0,
+                   help="first-pass CTC prefix beam width (0 = greedy); "
+                        "the final transcript is the best beam")
+    p.add_argument("--beam_prune", type=int, default=8,
+                   help="per-frame vocab shortlist for beam extensions")
+    p.add_argument("--rescore", action="store_true",
+                   help="two-pass serving: rescore the CTC n-best with the "
+                        "attention decoder at stream end (needs --beam)")
+    p.add_argument("--rescore_weight", type=float, default=0.3,
+                   help="final score = w*ctc + (1-w)*attention")
+    p.add_argument("--max_text_len", type=int, default=128,
+                   help="beam hypothesis length cap")
     p.add_argument("--endpoint_blank_ms", type=float, default=None,
                    help="CTC endpointing: stop a stream once its trailing "
                         "run of blank encoder frames covers this many ms "
@@ -102,10 +114,16 @@ def main(argv=None):
     hop = net_cfg.frontend.hop
     chunk = max(int(args.chunk_ms / 1000.0 * sr) // hop, 1) * hop
     chunk = max(chunk, net_cfg.frontend.fft)
+    if args.rescore and not args.beam:
+        p.error("--rescore needs --beam N")
     stream = StreamingASR(net, variables, chunk_samples=chunk,
                           max_frames=args.max_frames,
                           weight_quant=args.weight_quant,
-                          wq_min_elems=args.wq_min_elems)
+                          wq_min_elems=args.wq_min_elems,
+                          beam_size=args.beam, beam_prune=args.beam_prune,
+                          max_text_len=args.max_text_len,
+                          rescore=args.rescore,
+                          rescore_weight=args.rescore_weight)
     # selftest/short-file reference: the float tree the stream is exact
     # against (the dequantized weights when --weight_quant is set)
     off_vars = stream.offline_variables
@@ -117,6 +135,9 @@ def main(argv=None):
 
     if args.concurrency > 1 or args.endpoint_blank_ms is not None \
             or args.timestamps:
+        if args.beam:
+            p.error("--beam serves the lockstep path; drop --concurrency/"
+                    "--timestamps/--endpoint_blank_ms or the beam")
         # endpointing/timestamps live in the pool's tick, so that path
         # serves them even at concurrency 1
         results, times = _run_pool(args, net, net_cfg, variables, tokenizer,
@@ -171,8 +192,18 @@ def main(argv=None):
                                          tail_len)
         toks.extend(np.asarray(ids)[0][np.asarray(emit)[0]].tolist())
         text = tokenizer.tensor2text(np.asarray(toks))
+        if args.beam:
+            # greedy partials above were the low-latency first pass; the
+            # final transcript is the (optionally attention-rescored) best
+            # prefix-beam hypothesis
+            nb = stream.final_nbest(state)
+            best = nb["tokens"][0, 0, :nb["lengths"][0, 0]]
+            text = tokenizer.tensor2text(np.asarray(best))
+            tag = "rescored" if args.rescore else f"beam {args.beam}"
+            print(f"[{idx}] final ({tag}): {text}", flush=True)
+        else:
+            print(f"[{idx}] final: {text}", flush=True)
         results[idx] = text
-        print(f"[{idx}] final: {text}", flush=True)
 
         if args.selftest:
             feat = jnp.asarray(wave, jnp.float32)[None, :, None]

@@ -243,6 +243,15 @@ def test_stream_cli_end_to_end(tmp_path):
     assert sorted(open(out_pool).read().strip().splitlines()) == \
         sorted(lines)
 
+    # two-pass serving: first-pass prefix beam + attention rescoring
+    # (--selftest still checks the greedy partial stream against offline)
+    out_beam = str(tmp_path / "idx2text_beam")
+    stream_cli.main(["--config", cfg_path, "--result_path", exp,
+                     "--wav_scp", wav_scp, "--output", out_beam,
+                     "--chunk_ms", "300", "--max_frames", "512",
+                     "--beam", "4", "--rescore", "--selftest"])
+    assert len(open(out_beam).read().strip().splitlines()) == 4
+
 
 @pytest.mark.slow
 def test_stream_cli_endpointing(tmp_path, capsys):
