@@ -78,6 +78,8 @@ class PoolState(NamedTuple):
     ctc_prev: Array        # (B,) last argmax id (greedy collapse carry)
     blank_run: Array       # (B,) trailing all-blank encoder frames (the
     #                        CTC endpointing signal; StreamServer reads it)
+    beam: Any = None       # per-row PrefixBeamState when beam_size > 0
+    enc_buf: Any = None    # (B, cap, D) encoder outputs when rescore=True
 
 
 class StreamPool(_StreamBase):
@@ -100,17 +102,22 @@ class StreamPool(_StreamBase):
     """
 
     def __init__(self, net, variables: Dict[str, Any], *, slots: int,
-                 chunk_samples: int, max_frames: int = 4096,
-                 weight_quant: Optional[str] = None,
-                 wq_min_elems: int = 8192):
+                 chunk_samples: int, max_frames: int = 4096, **kwargs):
         super().__init__(net, variables, chunk_samples=chunk_samples,
-                         max_frames=max_frames, weight_quant=weight_quant,
-                         wq_min_elems=wq_min_elems)
+                         max_frames=max_frames, **kwargs)
         self.slots = slots
         self._tick = jax.jit(self._tick_impl, donate_argnums=(1,))
 
     def reset(self) -> PoolState:
         B, D = self.slots, self.n_mels
+        beam = enc_buf = None
+        if self.beam_size > 0:
+            from speechain_tpu.infer.ctc_prefix_beam import prefix_beam_init
+            beam = prefix_beam_init(B, self.beam_size, self.max_text_len)
+        if self.rescore:
+            d_enc = self.cfg.encoder["d_model"]
+            enc_buf = jnp.zeros((B, self.cap + self.mout, d_enc),
+                                jnp.float32)
         return PoolState(
             preemph_carry=jnp.zeros((B, 1), jnp.float32),
             wave_tail=jnp.zeros((B, self.cfg.frontend.fft), jnp.float32),
@@ -121,7 +128,21 @@ class StreamPool(_StreamBase):
             enc_cache=self._prime_cache(B),
             ctc_prev=jnp.zeros((B,), jnp.int32),
             blank_run=jnp.zeros((B,), jnp.int32),
+            beam=beam,
+            enc_buf=enc_buf,
         )
+
+    def final_nbest_row(self, state: PoolState, row: int,
+                        **kwargs) -> Dict[str, np.ndarray]:
+        """N-best (and optional second-pass rescoring) of ONE slot row —
+        see StreamingASR.final_nbest; call at the row's finish tick,
+        before the slot is reused (a restarting row resets its beam).
+        Returns arrays with a leading batch dim of 1."""
+        beam = jax.tree_util.tree_map(lambda x: x[row:row + 1], state.beam)
+        enc_buf = (state.enc_buf[row:row + 1]
+                   if state.enc_buf is not None else None)
+        return self._nbest_impl(beam, enc_buf, state.enc_frames[row],
+                                **kwargs)
 
     def tick(self, state: PoolState, chunks: Array, modes,
              tail_lens) -> Tuple[PoolState, Array, Array]:
@@ -256,6 +277,44 @@ class StreamPool(_StreamBase):
         new_run = jnp.where(any_nb, n_new - 1 - last_nb,
                             blank_run + n_new)
 
+        # --- per-row first-pass prefix beam (restarting rows reset to the
+        # empty-prefix init in-kernel; idle rows hold bit-identically via
+        # the per-row valid mask)
+        new_beam = state.beam
+        if self.beam_size > 0:
+            from speechain_tpu.infer.ctc_prefix_beam import (
+                prefix_beam_init, prefix_beam_update)
+            init_b = prefix_beam_init(B, self.beam_size, self.max_text_len)
+
+            def rsel(i, s):
+                k = is_start.reshape((B,) + (1,) * (s.ndim - 1))
+                return jnp.where(k, i, s)
+
+            beam = jax.tree_util.tree_map(rsel, init_b, state.beam)
+            logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32).at[..., self.sos_eos].set(
+                    -1e30), -1)
+
+            def bbody(bs, t):
+                ok = active & (t < n_new)
+                return prefix_beam_update(bs, logp[:, t], valid=ok,
+                                          prune=self.beam_prune), None
+
+            new_beam, _ = jax.lax.scan(bbody, beam, jnp.arange(self.mout))
+
+        # --- per-row encoder-output accumulation for second-pass rescoring.
+        # Idle/garbage writes land at the row's own position j and are
+        # always overwritten by the row's next REAL chunk (which starts at
+        # the same j) before enc_frames advances past them — the same
+        # argument that makes the KV cache safe under slot reuse.
+        new_enc_buf = state.enc_buf
+        if self.rescore:
+            new_enc_buf = jax.vmap(
+                lambda b_, e_, c_: jax.lax.dynamic_update_slice(
+                    b_, e_, (c_, 0)))(state.enc_buf,
+                                      enc_feat.astype(jnp.float32),
+                                      enc_frames)
+
         act2 = active[:, None]
         new_state = PoolState(
             preemph_carry=jnp.where(act2, chunk[:, -1:],
@@ -268,6 +327,8 @@ class StreamPool(_StreamBase):
             enc_cache=cache_vars["cache"],
             ctc_prev=new_prev,
             blank_run=new_run,
+            beam=new_beam,
+            enc_buf=new_enc_buf,
         )
         return new_state, ids, emit
 
@@ -292,13 +353,21 @@ class StreamServer:
     """
 
     def __init__(self, pool: StreamPool,
-                 endpoint_blank_ms: Optional[float] = None):
+                 endpoint_blank_ms: Optional[float] = None,
+                 lm_net=None, lm_variables: Optional[Dict] = None,
+                 lm_weight: float = 0.0):
         """``endpoint_blank_ms``: if set, a live stream whose trailing
         run of all-blank encoder frames covers at least this many
         milliseconds is flagged by :meth:`endpointed` — the standard CTC
         endpointing signal. The server only SIGNALS; the application
-        decides when to ``end()`` the stream."""
+        decides when to ``end()`` the stream.
+
+        ``lm_net``/``lm_variables``/``lm_weight``: external LM n-best
+        rescoring applied inside :meth:`nbest` capture (pools built with
+        ``beam_size > 0``)."""
         self.pool = pool
+        self._lm = (lm_net, lm_variables, lm_weight)
+        self._nbest: Dict[str, Dict[str, np.ndarray]] = {}
         self.state = pool.reset()
         S = pool.S
         fe = pool.cfg.frontend
@@ -381,6 +450,15 @@ class StreamServer:
         """Final token list once the stream has fully flushed, else None."""
         return self._done.get(uid)
 
+    def nbest(self, uid: str) -> Optional[Dict[str, np.ndarray]]:
+        """Two-pass final for a finished stream: the first-pass prefix-beam
+        n-best captured at its finish tick, rescored per the pool/server
+        config (attention pass when the pool has ``rescore=True``, external
+        LM when the server got one). Arrays carry a leading dim of 1;
+        ``nbest(uid)['tokens'][0, 0, :nbest(uid)['lengths'][0, 0]]`` is the
+        best hypothesis. None until the stream flushes (or no beam)."""
+        return self._nbest.get(uid)
+
     def result_frames(self, uid: str) -> Optional[List[int]]:
         """Per-token emission timestamps, parallel to :meth:`result`: the
         global encoder-frame index where CTC emitted each token (seconds =
@@ -461,6 +539,13 @@ class StreamServer:
                     runs[b] >= self._ep_frames:
                 self._endpointed[uid] = True
             if uid in finishing:
+                if self.pool.beam_size > 0:
+                    # capture the row's n-best NOW — the beam resets when
+                    # the recycled slot starts its next stream
+                    lm_net, lm_vars, lm_w = self._lm
+                    self._nbest[uid] = self.pool.final_nbest_row(
+                        self.state, b, lm_net=lm_net, lm_variables=lm_vars,
+                        lm_weight=lm_w)
                 self._done[uid] = self._tokens.pop(uid)
                 self._done_frames[uid] = self._tok_frames.pop(uid)
                 self._free.append(self._slot.pop(uid))

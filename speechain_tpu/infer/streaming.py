@@ -167,6 +167,7 @@ class _StreamBase:
         self.sos_eos = (cfg.vocab_size - 1) if sos_eos is None else int(
             sos_eos)
         self._rescore_fn = None                       # lazily jitted
+        self._lm_score_fn = None                      # lazily jitted
 
         window = hann_window(fe.win)
         self._basis = jnp.asarray(dft_filterbank(
@@ -271,6 +272,116 @@ class _StreamBase:
                 feat = feat / math.log(fe.log_base)
         return feat
 
+    # ------------------------------------------ n-best / two-pass scoring
+
+    def _nbest_impl(self, beam, enc_buf, enc_len,
+                    rescore: Optional[bool] = None,
+                    lm_net=None, lm_variables: Optional[Dict] = None,
+                    lm_weight: float = 0.0) -> Dict[str, np.ndarray]:
+        """Shared n-best extraction + second-pass scoring over a beam
+        pytree (lockstep full-state or a pool row slice); see
+        StreamingASR.final_nbest for the contract."""
+        if self.beam_size <= 0:
+            raise ValueError("build the stream with beam_size > 0 to use "
+                             "the n-best surface")
+        from speechain_tpu.infer.ctc_prefix_beam import prefix_beam_scores
+        do_rescore = self.rescore if rescore is None else bool(rescore)
+        if do_rescore and not self.rescore:
+            raise ValueError("rescore needs the stream built with "
+                             "rescore=True (it accumulates encoder output)")
+        tokens = np.asarray(beam.tokens)
+        lengths = np.asarray(beam.length)
+        ctc = np.asarray(prefix_beam_scores(beam))
+        out = dict(tokens=tokens, lengths=lengths, ctc_score=ctc)
+        score = ctc.copy()
+        if do_rescore:
+            if self._rescore_fn is None:
+                self._rescore_fn = self._build_rescore_fn()
+            att = np.asarray(self._rescore_fn(
+                self.exec_variables, enc_buf, enc_len,
+                beam.tokens, beam.length))
+            w = self.rescore_weight
+            score = w * ctc + (1.0 - w) * att
+            out["att_score"] = att
+        if lm_net is not None and lm_weight != 0.0:
+            if self._lm_score_fn is None:
+                self._lm_score_fn = self._build_lm_score_fn(lm_net)
+            lm = np.asarray(self._lm_score_fn(
+                lm_variables, beam.tokens, beam.length))
+            score = score + lm_weight * lm
+            out["lm_score"] = lm
+        out["score"] = score
+        order = np.argsort(-score, axis=1)
+        bi = np.arange(score.shape[0])[:, None]
+        return {k: v[bi, order] for k, v in out.items()}
+
+    def _build_rescore_fn(self):
+        """Second-pass attention scoring: teacher-forced decoder log-probs
+        of each hypothesis over the accumulated encoder output."""
+        from speechain_tpu.infer.quantize import dequantize_variables
+        from speechain_tpu.utils.masks import make_mask_from_len
+        sos = self.sos_eos
+
+        @jax.jit
+        def fn(variables, enc_buf, enc_len, tokens, length):
+            variables = dequantize_variables(variables)
+            base = {k: v for k, v in variables.items() if k != "cache"}
+            B, W, Lm = tokens.shape
+            BW = B * W
+            tt = tokens.reshape(BW, Lm)
+            ll = length.reshape(BW)
+            # [sos, prefix..., eos, 0...] — teacher-forced scoring format
+            # (models/ar_asr.py decode: input text[:, :-1], tgt text[:, 1:])
+            text = jnp.zeros((BW, Lm + 2), jnp.int32).at[:, 0].set(sos)
+            text = text.at[:, 1:Lm + 1].set(tt)
+            pos = jnp.arange(Lm + 2)[None, :]
+            text = jnp.where(pos == (ll + 1)[:, None], sos, text)
+            text = jnp.where(pos > (ll + 1)[:, None], 0, text)
+            text_len = ll + 2
+            enc = jnp.repeat(enc_buf.astype(self.cfg.dtype), W, axis=0)
+            enc_mask = make_mask_from_len(
+                jnp.repeat(jnp.broadcast_to(
+                    jnp.asarray(enc_len, jnp.int32), (B,)), W),
+                enc.shape[1])
+            logits, *_ = self.net.apply(base, enc, enc_mask, text, text_len,
+                                        method=self.net.decode)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            tgt = text[:, 1:]
+            lp = jnp.take_along_axis(logp[:, :tgt.shape[1]], tgt[..., None],
+                                     -1)[..., 0]
+            m = jnp.arange(tgt.shape[1])[None, :] < (text_len - 1)[:, None]
+            att = jnp.sum(jnp.where(m, lp, 0.0), -1)
+            return att.reshape(B, W)
+
+        return fn
+
+    def _build_lm_score_fn(self, lm_net):
+        """External-LM n-best scoring: one full (uncached) LM forward over
+        the W short hypotheses per row — log P_lm([sos, prefix, eos])."""
+        sos = self.sos_eos
+
+        @jax.jit
+        def fn(lm_variables, tokens, length):
+            B, W, Lm = tokens.shape
+            BW = B * W
+            tt = tokens.reshape(BW, Lm)
+            ll = length.reshape(BW)
+            text = jnp.zeros((BW, Lm + 2), jnp.int32).at[:, 0].set(sos)
+            text = text.at[:, 1:Lm + 1].set(tt)
+            pos = jnp.arange(Lm + 2)[None, :]
+            text = jnp.where(pos == (ll + 1)[:, None], sos, text)
+            text = jnp.where(pos > (ll + 1)[:, None], 0, text)
+            text_len = ll + 2
+            logits, *_ = lm_net.apply(lm_variables, text, text_len)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            tgt = text[:, 1:]
+            lp = jnp.take_along_axis(logp[:, :-1], tgt[..., None],
+                                     -1)[..., 0]
+            m = jnp.arange(tgt.shape[1])[None, :] < (text_len - 1)[:, None]
+            return jnp.sum(jnp.where(m, lp, 0.0), -1).reshape(B, W)
+
+        return fn
+
 
 class StreamingASR(_StreamBase):
     """Exact streaming CTC-greedy recognizer over a causal ARASR model.
@@ -349,80 +460,25 @@ class StreamingASR(_StreamBase):
                             jnp.asarray(tail_len, jnp.int32))
 
     def final_nbest(self, state: StreamState,
-                    rescore: Optional[bool] = None) -> Dict[str, np.ndarray]:
+                    rescore: Optional[bool] = None,
+                    lm_net=None, lm_variables: Optional[Dict] = None,
+                    lm_weight: float = 0.0) -> Dict[str, np.ndarray]:
         """N-best of the first-pass prefix beam (``beam_size > 0``),
         optionally rescored by the attention decoder over the accumulated
-        encoder output (``rescore=True`` at build time) — the two-pass
-        (streaming CTC partials -> attention final) serving recipe.
+        encoder output (``rescore=True`` at build time) and/or an external
+        LM — the two-pass (streaming CTC partials -> rescored final)
+        serving recipe. ``score = w*ctc + (1-w)*att + lm_weight*lm`` (the
+        att term drops out when not rescoring).
 
         Read-only on ``state``; callable mid-stream or after ``finish``.
         Returns numpy ``tokens (B, W, Lmax)``, ``lengths (B, W)``,
-        ``ctc_score``, ``score`` (and ``att_score`` when rescoring),
-        each row sorted best-first by ``score``.
+        ``ctc_score``, ``score`` (plus ``att_score``/``lm_score`` when
+        active), each row sorted best-first by ``score``.
         """
-        if self.beam_size <= 0:
-            raise ValueError("build the stream with beam_size > 0 to use "
-                             "final_nbest")
-        from speechain_tpu.infer.ctc_prefix_beam import prefix_beam_scores
-        do_rescore = self.rescore if rescore is None else bool(rescore)
-        if do_rescore and not self.rescore:
-            raise ValueError("rescore needs the stream built with "
-                             "rescore=True (it accumulates encoder output)")
-        tokens = np.asarray(state.beam.tokens)
-        lengths = np.asarray(state.beam.length)
-        ctc = np.asarray(prefix_beam_scores(state.beam))
-        if not do_rescore:
-            # beams leave prefix_beam_update sorted best-first already
-            return dict(tokens=tokens, lengths=lengths, ctc_score=ctc,
-                        score=ctc)
-        if self._rescore_fn is None:
-            self._rescore_fn = self._build_rescore_fn()
-        att = np.asarray(self._rescore_fn(
-            self.exec_variables, state.enc_buf, state.enc_frames,
-            state.beam.tokens, state.beam.length))
-        w = self.rescore_weight
-        score = w * ctc + (1.0 - w) * att
-        order = np.argsort(-score, axis=1)
-        bi = np.arange(score.shape[0])[:, None]
-        return dict(tokens=tokens[bi, order], lengths=lengths[bi, order],
-                    ctc_score=ctc[bi, order], att_score=att[bi, order],
-                    score=score[bi, order])
-
-    def _build_rescore_fn(self):
-        from speechain_tpu.infer.quantize import dequantize_variables
-        from speechain_tpu.utils.masks import make_mask_from_len
-        sos = self.sos_eos
-
-        @jax.jit
-        def fn(variables, enc_buf, enc_len, tokens, length):
-            variables = dequantize_variables(variables)
-            base = {k: v for k, v in variables.items() if k != "cache"}
-            B, W, Lm = tokens.shape
-            BW = B * W
-            tt = tokens.reshape(BW, Lm)
-            ll = length.reshape(BW)
-            # [sos, prefix..., eos, 0...] — teacher-forced scoring format
-            # (models/ar_asr.py decode: input text[:, :-1], tgt text[:, 1:])
-            text = jnp.zeros((BW, Lm + 2), jnp.int32).at[:, 0].set(sos)
-            text = text.at[:, 1:Lm + 1].set(tt)
-            pos = jnp.arange(Lm + 2)[None, :]
-            text = jnp.where(pos == (ll + 1)[:, None], sos, text)
-            text = jnp.where(pos > (ll + 1)[:, None], 0, text)
-            text_len = ll + 2
-            enc = jnp.repeat(enc_buf.astype(self.cfg.dtype), W, axis=0)
-            enc_mask = make_mask_from_len(
-                jnp.full((BW,), enc_len, jnp.int32), enc.shape[1])
-            logits, *_ = self.net.apply(base, enc, enc_mask, text, text_len,
-                                        method=self.net.decode)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-            tgt = text[:, 1:]
-            lp = jnp.take_along_axis(logp[:, :tgt.shape[1]], tgt[..., None],
-                                     -1)[..., 0]
-            m = jnp.arange(tgt.shape[1])[None, :] < (text_len - 1)[:, None]
-            att = jnp.sum(jnp.where(m, lp, 0.0), -1)
-            return att.reshape(B, W)
-
-        return fn
+        return self._nbest_impl(state.beam, state.enc_buf, state.enc_frames,
+                                rescore=rescore, lm_net=lm_net,
+                                lm_variables=lm_variables,
+                                lm_weight=lm_weight)
 
     # ------------------------------------------------------- the chunk fn
 

@@ -68,6 +68,14 @@ def main(argv=None):
                    help="final score = w*ctc + (1-w)*attention")
     p.add_argument("--max_text_len", type=int, default=128,
                    help="beam hypothesis length cap")
+    p.add_argument("--lm_config", default=None,
+                   help="external LM module yaml (or the LM experiment's "
+                        "exp_cfg) for n-best rescoring")
+    p.add_argument("--lm_ckpt", default=None,
+                   help="orbax checkpoint path of the external LM")
+    p.add_argument("--lm_weight", type=float, default=0.0,
+                   help="add lm_weight * log P_lm(hyp) to the final score "
+                        "(needs --beam, --lm_config, --lm_ckpt)")
     p.add_argument("--endpoint_blank_ms", type=float, default=None,
                    help="CTC endpointing: stop a stream once its trailing "
                         "run of blank encoder frames covers this many ms "
@@ -116,6 +124,22 @@ def main(argv=None):
     chunk = max(chunk, net_cfg.frontend.fft)
     if args.rescore and not args.beam:
         p.error("--rescore needs --beam N")
+    lm_net = lm_vars = None
+    if args.lm_weight != 0.0:
+        if not (args.beam and args.lm_config and args.lm_ckpt):
+            p.error("--lm_weight needs --beam, --lm_config and --lm_ckpt")
+        import orbax.checkpoint as ocp
+
+        from speechain_tpu.builders import build_lm
+        from speechain_tpu.utils.yamlref import load_yaml
+        lm_conf = load_yaml(args.lm_config)
+        for key in ("train_cfg", "model", "module_conf"):
+            if isinstance(lm_conf, dict) and key in lm_conf:
+                lm_conf = lm_conf[key]
+        lm_net, _ = build_lm(lm_conf, tokenizer.vocab_size)
+        payload = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.lm_ckpt), None)
+        lm_vars = {"params": payload.get("params", payload)}
     stream = StreamingASR(net, variables, chunk_samples=chunk,
                           max_frames=args.max_frames,
                           weight_quant=args.weight_quant,
@@ -135,13 +159,10 @@ def main(argv=None):
 
     if args.concurrency > 1 or args.endpoint_blank_ms is not None \
             or args.timestamps:
-        if args.beam:
-            p.error("--beam serves the lockstep path; drop --concurrency/"
-                    "--timestamps/--endpoint_blank_ms or the beam")
         # endpointing/timestamps live in the pool's tick, so that path
         # serves them even at concurrency 1
         results, times = _run_pool(args, net, net_cfg, variables, tokenizer,
-                                   wavs, sr, chunk)
+                                   wavs, sr, chunk, lm_net, lm_vars)
         if args.output:
             write_idx2data_file(results, args.output)
             print(f"wrote {len(results)} transcripts to {args.output}")
@@ -196,10 +217,14 @@ def main(argv=None):
             # greedy partials above were the low-latency first pass; the
             # final transcript is the (optionally attention-rescored) best
             # prefix-beam hypothesis
-            nb = stream.final_nbest(state)
+            nb = stream.final_nbest(state, lm_net=lm_net,
+                                    lm_variables=lm_vars,
+                                    lm_weight=args.lm_weight)
             best = nb["tokens"][0, 0, :nb["lengths"][0, 0]]
             text = tokenizer.tensor2text(np.asarray(best))
             tag = "rescored" if args.rescore else f"beam {args.beam}"
+            if args.lm_weight:
+                tag += f" +lm*{args.lm_weight:g}"
             print(f"[{idx}] final ({tag}): {text}", flush=True)
         else:
             print(f"[{idx}] final: {text}", flush=True)
@@ -221,7 +246,8 @@ def main(argv=None):
         print(f"wrote {len(results)} transcripts to {args.output}")
 
 
-def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
+def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk,
+              lm_net=None, lm_vars=None):
     """Continuous-batching path: N wavs in flight per device tick."""
     import jax.numpy as jnp
     import numpy as np
@@ -233,10 +259,15 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
     pool = StreamPool(net, variables, slots=args.concurrency,
                       chunk_samples=chunk, max_frames=args.max_frames,
                       weight_quant=args.weight_quant,
-                      wq_min_elems=args.wq_min_elems)
+                      wq_min_elems=args.wq_min_elems,
+                      beam_size=args.beam, beam_prune=args.beam_prune,
+                      max_text_len=args.max_text_len, rescore=args.rescore,
+                      rescore_weight=args.rescore_weight)
     off_vars = pool.offline_variables
     endpointing = args.endpoint_blank_ms is not None
-    server = StreamServer(pool, endpoint_blank_ms=args.endpoint_blank_ms)
+    server = StreamServer(pool, endpoint_blank_ms=args.endpoint_blank_ms,
+                          lm_net=lm_net, lm_variables=lm_vars,
+                          lm_weight=args.lm_weight)
     min_samples = net_cfg.frontend.fft // 2 + 1
 
     pending = list(wavs)
@@ -282,8 +313,17 @@ def _run_pool(args, net, net_cfg, variables, tokenizer, wavs, sr, chunk):
             toks = server.result(idx)
             if toks is None:
                 continue
-            results[idx] = tokenizer.tensor2text(np.asarray(toks))
-            print(f"[{idx}] final: {results[idx]}", flush=True)
+            if args.beam:
+                nb = server.nbest(idx)
+                best = nb["tokens"][0, 0, :nb["lengths"][0, 0]]
+                results[idx] = tokenizer.tensor2text(np.asarray(best))
+                tag = "rescored" if args.rescore else f"beam {args.beam}"
+                if args.lm_weight:
+                    tag += f" +lm*{args.lm_weight:g}"
+                print(f"[{idx}] final ({tag}): {results[idx]}", flush=True)
+            else:
+                results[idx] = tokenizer.tensor2text(np.asarray(toks))
+                print(f"[{idx}] final: {results[idx]}", flush=True)
             if args.timestamps:
                 times[idx] = [f * server.frame_seconds
                               for f in server.result_frames(idx)]
