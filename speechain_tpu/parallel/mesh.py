@@ -33,9 +33,12 @@ def parse_mesh_spec(spec) -> Dict[str, int]:
     """
     # 'micro' is not a mesh axis: it is the pipeline microbatch count
     # (n_micro = pipe * A gives an A-wide GPipe grad-accumulation window);
-    # 0 = auto (one microbatch per stage)
+    # 0 = auto (one microbatch per stage). 'fsdp' is a 0/1 modifier on the
+    # 'data' axis (ZeRO/FSDP: params + optimizer state sharded over 'data',
+    # see fsdp_param_rules); 'fsdp_min_size' is the smallest leaf (elements)
+    # the FSDP rules will shard.
     out: Dict[str, Any] = {"data": None, "model": 1, "seq": 1, "pipe": 1,
-                           "micro": 0}
+                           "micro": 0, "fsdp": 0, "fsdp_min_size": 1 << 16}
     if spec is None:
         return out
     if isinstance(spec, str):
@@ -51,8 +54,8 @@ def parse_mesh_spec(spec) -> Dict[str, int]:
         assert k in out, (f"unknown mesh axis '{k}' "
                           f"(choose from {sorted(out)})")
         out[k] = int(v)
-        assert out[k] >= (0 if k == "micro" else 1), \
-            f"mesh axis {k} must be >= 1"
+        assert out[k] >= (0 if k in ("micro", "fsdp", "fsdp_min_size")
+                          else 1), f"mesh axis {k} must be >= 1"
     return out
 
 
@@ -118,21 +121,92 @@ def param_sharding_rules(path: Tuple, leaf) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh):
-    """Apply :func:`param_sharding_rules` over a param pytree."""
+def fsdp_param_rules(path: Tuple, leaf, n_data: int,
+                     min_size: int = 1 << 16) -> P:
+    """FSDP / ZeRO sharding rules: on top of the tensor-parallel rules,
+    shard the largest still-unsharded axis of every big leaf over 'data'.
+
+    The scaling-book FSDP recipe: parameters (and, through
+    :func:`shard_state`, the optimizer moments) live sharded along the
+    batch axis; XLA's partitioner inserts the per-layer all-gathers in the
+    forward/backward and turns the gradient all-reduce into a
+    reduce-scatter. Per-device at-rest bytes for params + Adam moments drop
+    by ~n_data. Leaves smaller than ``min_size`` elements or with no axis
+    divisible by ``n_data`` stay on the base rule (replicated over 'data').
+    """
+    base = param_sharding_rules(path, leaf)
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim < 1 or leaf.size < min_size:
+        return base
+    spec = list(base) + [None] * (ndim - len(base))
+    cands = [(leaf.shape[d], d) for d in range(ndim)
+             if spec[d] is None and leaf.shape[d] % n_data == 0]
+    if not cands:
+        return base
+    spec[max(cands)[1]] = "data"
+    return P(*spec)
+
+
+def make_param_rules(mesh: Mesh, fsdp: bool = False,
+                     fsdp_min_size: int = 1 << 16) -> Callable:
+    """The (path, leaf) -> PartitionSpec rule set for a mesh request:
+    tensor-parallel seeds by default, plus FSDP 'data'-axis sharding when
+    requested."""
+    if not fsdp:
+        return param_sharding_rules
+    n_data = int(mesh.shape.get("data", 1))
+    if n_data <= 1:
+        return param_sharding_rules
+    return partial(fsdp_param_rules, n_data=n_data, min_size=fsdp_min_size)
+
+
+def shard_params(params, mesh: Mesh, rules: Optional[Callable] = None):
+    """Apply :func:`param_sharding_rules` (or ``rules``) over a param
+    pytree."""
+    rules = rules or param_sharding_rules
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def place(path, leaf):
-        return jax.device_put(leaf, NamedSharding(
-            mesh, param_sharding_rules(path, leaf)))
+        return jax.device_put(leaf, NamedSharding(mesh, rules(path, leaf)))
 
     leaves = [place(p, l) for p, l in flat]
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def shard_state(state, mesh: Mesh, rules: Optional[Callable] = None):
+    """Place a TrainState at rest on the mesh under the given rules.
+
+    Params AND optimizer state are placed: optax state pytrees embed the
+    param tree (mu/nu/accumulated grads keep the param names in their
+    paths), so the same (path, leaf) rules shard the Adam moments exactly
+    like their parameters — ZeRO-1/3 at rest when ``rules`` came from
+    ``make_param_rules(fsdp=True)`` (requires the per-leaf optimizer form,
+    ``build_optimizer(flatten=False)``; the flat fast path concatenates all
+    moments into one buffer whose length is not mesh-divisible). Scalars
+    and the mutables collections replicate.
+    """
+    rules = rules or param_sharding_rules
+
+    def place_tree(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        leaves = [jax.device_put(l, NamedSharding(mesh, rules(p, l)))
+                  for p, l in flat]
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(tree), leaves)
+
+    rep = NamedSharding(mesh, P())
+    return state._replace(
+        step=jax.device_put(state.step, rep),
+        params=place_tree(state.params),
+        opt_state=place_tree(state.opt_state),
+        mutables=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state.mutables))
+
+
 def train_step_gspmd(step_fn: Callable, mesh: Mesh,
-                     donate_state: bool = True) -> Callable:
+                     donate_state: bool = True,
+                     rules: Optional[Callable] = None) -> Callable:
     """GSPMD path: jit the GLOBAL-batch step with sharding annotations and
     let XLA insert the collectives (the scaling-book recipe). Supports
     dp x tp meshes: batch sharded on 'data', large kernels sharded on
@@ -148,17 +222,22 @@ def train_step_gspmd(step_fn: Callable, mesh: Mesh,
     prenet convs) partitions along time and the partitioner inserts the
     collectives attention needs (K/V all-gather / resharding). Useful when
     a single utterance's activations dominate memory (long audio).
+
+    ``rules`` overrides the param-sharding seeds (e.g.
+    ``make_param_rules(mesh, fsdp=True)`` for the FSDP/ZeRO path).
     """
-    return jax.jit(_gspmd_wrap(step_fn, mesh),
+    return jax.jit(_gspmd_wrap(step_fn, mesh, rules),
                    donate_argnums=(0,) if donate_state else ())
 
 
-def _gspmd_wrap(step_fn: Callable, mesh: Mesh) -> Callable:
+def _gspmd_wrap(step_fn: Callable, mesh: Mesh,
+                rules: Optional[Callable] = None) -> Callable:
     """The (unjitted) GSPMD constraint wrapper behind
     :func:`train_step_gspmd`; also reused by the scanned multi-batch form
     below. ``batch`` may be a flat dict of arrays or a multi-domain dict of
     such dicts ({'real': {...}, 'syn': {...}})."""
     seq = "seq" if "seq" in mesh.axis_names else None
+    rules = rules or param_sharding_rules
 
     def place(x):
         if hasattr(x, "ndim") and x.ndim >= 1:
@@ -175,25 +254,32 @@ def _gspmd_wrap(step_fn: Callable, mesh: Mesh) -> Callable:
                     if hasattr(v, "ndim") else v)
                 for k, v in b.items()}
 
+    def constrain_params(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, l: jax.lax.with_sharding_constraint(
+                l, NamedSharding(mesh, rules(p, l))), params)
+
     def wrapped(state, batch, rng):
         batch = constrain(batch)
-        params = jax.tree_util.tree_map_with_path(
-            lambda p, l: jax.lax.with_sharding_constraint(
-                l, NamedSharding(mesh, param_sharding_rules(p, l))),
-            state.params)
-        state = state._replace(params=params)
-        return step_fn(state, batch, rng)
+        state = state._replace(params=constrain_params(state.params))
+        new_state, metrics = step_fn(state, batch, rng)
+        # pin the at-rest layout of the NEW params too, so the updated
+        # state keeps the requested sharding between steps (the optimizer
+        # moments follow by propagation from their sharded inputs)
+        return new_state._replace(
+            params=constrain_params(new_state.params)), metrics
 
     return wrapped
 
 
 def multi_batch_step_gspmd(step_fn: Callable, mesh: Mesh,
-                           donate_state: bool = True) -> Callable:
+                           donate_state: bool = True,
+                           rules: Optional[Callable] = None) -> Callable:
     """GSPMD form of :func:`multi_batch_step_under_mesh`: scan K stacked
     distinct batches through the constraint-wrapped global step in one
     executable (the ``--steps_per_dispatch`` path on dp x tp / seq
     meshes)."""
-    wrapped = _gspmd_wrap(step_fn, mesh)
+    wrapped = _gspmd_wrap(step_fn, mesh, rules)
 
     def run(state, stacked, rng):
         def one(carry, batch):

@@ -77,10 +77,12 @@ def parse_args(argv=None):
                         "exp_cfg's train_cfg.parallel block. model>1 = "
                         "tensor parallelism (and expert parallelism for "
                         "fdfwd_type: moe), seq>1 = sequence parallelism, "
-                        "pipe>1 = pipeline parallelism; these route "
-                        "training through the GSPMD global-batch step "
-                        "(parallel/mesh.py); the default 1-axis dp path "
-                        "stays on shard_map")
+                        "pipe>1 = pipeline parallelism, fsdp=1 = ZeRO/FSDP "
+                        "(params + Adam moments sharded over 'data', "
+                        "fsdp_min_size=N sets the smallest sharded leaf); "
+                        "these route training through the GSPMD "
+                        "global-batch step (parallel/mesh.py); the default "
+                        "1-axis dp path stays on shard_map")
     p.add_argument("--batch_bucket", type=int, default=8)
     p.add_argument("--time_bucket", type=int, default=None)
     p.add_argument("--token_bucket", type=int, default=16)
@@ -373,9 +375,13 @@ def train_main(cfg: Dict, args):
                                 or cfg["train_cfg"].get("parallel"))
     n_model, n_seq = mesh_conf["model"], mesh_conf["seq"]
     n_pipe = mesh_conf["pipe"]
-    # model/seq/pipe axes run the GSPMD global-batch step (axis_name-free);
-    # the plain dp mesh keeps the shard_map fast path
-    use_gspmd = n_model > 1 or n_seq > 1 or n_pipe > 1
+    use_fsdp = bool(mesh_conf.get("fsdp"))
+    if use_fsdp and n_pipe > 1:
+        raise ValueError("--mesh fsdp=1 cannot be combined with pipe>1 "
+                         "(the pipeline path shards params over 'pipe')")
+    # model/seq/pipe/fsdp requests run the GSPMD global-batch step
+    # (axis_name-free); the plain dp mesh keeps the shard_map fast path
+    use_gspmd = n_model > 1 or n_seq > 1 or n_pipe > 1 or use_fsdp
 
     model_cfg = cfg["train_cfg"]["model"]
     customize = (model_cfg.get("model_conf", {}) or {}).get(
@@ -434,7 +440,10 @@ def train_main(cfg: Dict, args):
     tx = build_optimizers(cfg["train_cfg"].get("optim_sches", {}),
                           steps_per_epoch=steps_per_epoch,
                           accum_grad=cfg["accum_grad"],
-                          grad_clip=cfg["grad_clip"])
+                          grad_clip=cfg["grad_clip"],
+                          # FSDP shards the Adam moments per-leaf like
+                          # their params (parallel/mesh.py shard_state)
+                          flatten=not use_fsdp)
     state = init_train_state(variables, tx)
 
     n_dev = args.n_devices or len(jax.devices())
@@ -443,13 +452,22 @@ def train_main(cfg: Dict, args):
     mesh = make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq,
                      n_pipe=n_pipe)
     axis = None if use_gspmd else "data"
+    sharding_rules = None
     if use_gspmd:
-        from speechain_tpu.parallel.mesh import train_step_gspmd as _wrap
+        from functools import partial as _partial
+
+        from speechain_tpu.parallel.mesh import make_param_rules
+        from speechain_tpu.parallel.mesh import train_step_gspmd
+        sharding_rules = make_param_rules(
+            mesh, fsdp=use_fsdp,
+            fsdp_min_size=mesh_conf.get("fsdp_min_size", 1 << 16))
+        _wrap = _partial(train_step_gspmd, rules=sharding_rules)
     else:
         _wrap = train_step_under_mesh
     logger.info("mesh: %s (%s step path)",
                 dict(zip(mesh.axis_names, mesh.devices.shape)),
                 "pipeline" if n_pipe > 1 else
+                "GSPMD+FSDP" if use_fsdp else
                 "GSPMD" if use_gspmd else "shard_map dp")
     from speechain_tpu.data.loader import MultiLoader
     multi_domain = isinstance(loaders["train"], MultiLoader)
@@ -520,8 +538,12 @@ def train_main(cfg: Dict, args):
             and not args.no_optim:
         from speechain_tpu.parallel.mesh import (multi_batch_step_gspmd,
                                                  multi_batch_step_under_mesh)
-        mk_multi = (multi_batch_step_gspmd if use_gspmd
-                    else multi_batch_step_under_mesh)
+        if use_gspmd:
+            from functools import partial as _partial
+            mk_multi = _partial(multi_batch_step_gspmd,
+                                rules=sharding_rules)
+        else:
+            mk_multi = multi_batch_step_under_mesh
         jtrain_multi = mk_multi(
             mk_step(net, net_cfg, tx, axis_name=axis, train=True), mesh)
 
@@ -549,6 +571,21 @@ def train_main(cfg: Dict, args):
         # jitted step sees one logical program over the global mesh
         state = multihost.replicate(state, mesh)
         rng = multihost.replicate(rng, mesh)
+    elif use_gspmd and n_pipe == 1:
+        # place the state at rest under the mesh's sharding rules (tp
+        # kernels over 'model'; with fsdp=1 params + Adam moments over
+        # 'data' too — ZeRO at-rest memory). Done after the resume restore
+        # so restored host arrays get the same placement.
+        from speechain_tpu.parallel.mesh import shard_state
+        state = shard_state(state, mesh, sharding_rules)
+        if use_fsdp:
+            per_dev = sum(
+                x.addressable_shards[0].data.nbytes
+                for t in (state.params, state.opt_state)
+                for x in jax.tree_util.tree_leaves(t)
+                if hasattr(x, "addressable_shards"))
+            logger.info("FSDP at-rest params+opt: %.2f MB/device",
+                        per_dev / 2**20)
 
     def to_device_batch(b, _epoch=None):
         if multi_domain and all(isinstance(v, dict) for v in b.values()):

@@ -110,9 +110,17 @@ def build_optimizer(sche_type: str = "noam", optim_type: str = "Adam",
                     decay_factor: float = 0.999, steps_per_epoch: int = 1000,
                     accum_grad: int = 1, grad_clip: Optional[float] = 5.0,
                     ft_factor: float = 1.0,
-                    updated_modules: Optional[Sequence[str]] = None
+                    updated_modules: Optional[Sequence[str]] = None,
+                    flatten: bool = True
                     ) -> optax.GradientTransformation:
-    """Build the full update chain for one optimizer group."""
+    """Build the full update chain for one optimizer group.
+
+    ``flatten=False`` keeps the per-leaf optimizer form (moments mirror the
+    param tree) — required by FSDP/ZeRO state sharding
+    (parallel/mesh.py shard_state), which shards each moment exactly like
+    its parameter; the flat fast path's single concatenated buffer is not
+    mesh-divisible.
+    """
     optim_conf = dict(optim_conf or {})
     peak_lr = float(optim_conf.pop("lr", 2e-3))
     if sche_type in ("noam", "noam.Noamlr"):
@@ -126,7 +134,7 @@ def build_optimizer(sche_type: str = "noam", optim_type: str = "Adam",
         raise ValueError(f"unknown scheduler {sche_type!r}")
 
     inner = OPTIMIZERS[optim_type](schedule, optim_conf)
-    if updated_modules is None:
+    if updated_modules is None and flatten:
         # fast path: run clip + finite-skip + the optimizer on ONE
         # flattened buffer. The per-leaf form (clip_by_global_norm +
         # apply_if_finite over ~300 param leaves) profiled at ~17 ms/step
@@ -166,7 +174,7 @@ def build_optimizer(sche_type: str = "noam", optim_type: str = "Adam",
 def build_optimizers(optim_sches_cfg: Dict[str, Any], *,
                      steps_per_epoch: int = 1000,
                      accum_grad: int = 1, grad_clip: Optional[float] = 5.0,
-                     ft_factor: float = 1.0):
+                     ft_factor: float = 1.0, flatten: bool = True):
     """Config-driven entry matching the reference ``optim_sches`` block:
     either a single {type, conf} or a dict of named ones, each owning a
     disjoint ``updated_modules`` parameter subset (runner.py:697-772,
@@ -193,6 +201,7 @@ def build_optimizers(optim_sches_cfg: Dict[str, Any], *,
             # the multi-optimizer case so transforms never compose serially
             updated_modules=(owned[name] if len(optim_sches_cfg) == 1
                              else None),
+            flatten=flatten,
         )
     if len(txs) == 1:
         return next(iter(txs.values()))

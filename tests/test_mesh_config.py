@@ -15,11 +15,15 @@ def test_parse_mesh_spec():
     from speechain_tpu.parallel.mesh import parse_mesh_spec
 
     d = parse_mesh_spec(None)
-    assert d == {"data": None, "model": 1, "seq": 1, "pipe": 1, "micro": 0}
+    assert d == {"data": None, "model": 1, "seq": 1, "pipe": 1, "micro": 0,
+                 "fsdp": 0, "fsdp_min_size": 1 << 16}
     d = parse_mesh_spec("data=2,model=2")
     assert d["data"] == 2 and d["model"] == 2 and d["pipe"] == 1
+    assert d["fsdp"] == 0
     d = parse_mesh_spec("pipe=4, micro=8")
     assert d["pipe"] == 4 and d["micro"] == 8
+    d = parse_mesh_spec("data=8,fsdp=1,fsdp_min_size=64")
+    assert d["fsdp"] == 1 and d["fsdp_min_size"] == 64
     d = parse_mesh_spec({"model": 2, "seq": 2})
     assert d["model"] == 2 and d["seq"] == 2 and d["data"] is None
     with pytest.raises(AssertionError):
