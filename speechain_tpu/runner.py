@@ -825,6 +825,7 @@ def train_main(cfg: Dict, args):
                     **jax.device_get(state.mutables)}
         ckpt.average_models(best, template,
                             name=f"{tracker.rules[0][0]}_average")
+    ckpt.close()   # land + commit the in-flight async save
     monitor.close()
     logger.info("training finished")
     return state

@@ -31,11 +31,42 @@ class CheckpointManager:
       models/registry.json epoch -> metrics record
     """
 
-    def __init__(self, exp_dir: str):
+    def __init__(self, exp_dir: str, async_save: bool = True):
         self.exp_dir = os.path.abspath(exp_dir)
         self.models_dir = os.path.join(self.exp_dir, "models")
         os.makedirs(self.models_dir, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        # async: the disk write runs on orbax's background thread while the
+        # NEXT epoch trains; the atomic commit (tmp -> final rename, meta/
+        # registry writes) is deferred until the write finishes and runs in
+        # _drain() — called before every subsequent save/restore/read and
+        # by close(). The host snapshot (jax.device_get) stays synchronous:
+        # train-state buffers are donated into the next step, so the writer
+        # must never read live device memory.
+        self._async = bool(async_save)
+        self._ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                       if self._async else ocp.StandardCheckpointer())
+        self._pending = None   # deferred commit closure of the last save
+
+    def _drain(self):
+        """Block until the in-flight async save lands, then commit it."""
+        if hasattr(self._ckptr, "wait_until_finished"):
+            self._ckptr.wait_until_finished()
+        if self._pending is not None:
+            fn, self._pending = self._pending, None
+            fn()
+
+    def close(self):
+        """Finalize any in-flight save (call at the end of training)."""
+        self._drain()
+
+    def _finish(self, commit):
+        """Run ``commit`` now (sync) or defer it behind the async write."""
+        if self._async:
+            self._pending = commit
+        else:
+            if hasattr(self._ckptr, "wait_until_finished"):
+                self._ckptr.wait_until_finished()
+            commit()
 
     # Multi-host launch (parallel/multihost.py): ONE cooperative checkpoint
     # in the canonical exp_dir (shared fs / GCS on real pods). Every process
@@ -54,29 +85,47 @@ class CheckpointManager:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices(f"ckpt_{tag}")
 
+    def _save(self, path, tree):
+        try:
+            self._ckptr.save(path, args=ocp.args.StandardSave(tree))
+        except (TypeError, AttributeError):
+            self._ckptr.save(path, tree)
+
+    def _restore(self, path, template):
+        try:
+            return self._ckptr.restore(
+                path, args=ocp.args.StandardRestore(template))
+        except (TypeError, AttributeError):
+            return self._ckptr.restore(path, template)
+
     # ---------------- full-state resume point ---------------------------
     def save_train_state(self, state, extra: Optional[Dict] = None):
+        self._drain()
         path = os.path.join(self.exp_dir, "checkpoint")
         tmp = path + ".tmp"
         if self._is_primary() and os.path.exists(tmp):
             shutil.rmtree(tmp)
         self._sync("pre_state")
-        self._ckptr.save(tmp, jax.device_get(state))
-        if hasattr(self._ckptr, 'wait_until_finished'):
-            self._ckptr.wait_until_finished()
-        if self._is_primary():
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.rename(tmp, path)
-            if extra is not None:
-                with open(os.path.join(self.exp_dir,
-                                       "checkpoint_meta.json"), "w") as f:
-                    json.dump(extra, f)
-        self._sync("commit_state")
+        self._save(tmp, jax.device_get(state))
+
+        def commit():
+            if self._is_primary():
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                os.rename(tmp, path)
+                if extra is not None:
+                    with open(os.path.join(self.exp_dir,
+                                           "checkpoint_meta.json"),
+                              "w") as f:
+                        json.dump(extra, f)
+            self._sync("commit_state")
+
+        self._finish(commit)
 
     def restore_train_state(self, template):
+        self._drain()
         path = os.path.join(self.exp_dir, "checkpoint")
-        state = self._ckptr.restore(path, template)
+        state = self._restore(path, template)
         # orbax commits restored arrays to one device; hand back host numpy
         # so the sharded/jitted step can place them on the full mesh freely
         state = jax.tree_util.tree_map(np.asarray, state)
@@ -88,11 +137,13 @@ class CheckpointManager:
         return state, meta
 
     def has_checkpoint(self) -> bool:
+        self._drain()
         return os.path.exists(os.path.join(self.exp_dir, "checkpoint"))
 
     # ---------------- per-epoch model snapshots -------------------------
     def save_epoch_model(self, epoch: int, params,
                          mutables: Optional[Dict] = None):
+        self._drain()
         path = os.path.join(self.models_dir, f"epoch_{epoch}")
         if self._is_primary() and os.path.exists(path):
             shutil.rmtree(path)
@@ -100,17 +151,17 @@ class CheckpointManager:
         payload = {"params": jax.device_get(params)}
         if mutables:
             payload.update(jax.device_get(mutables))
-        self._ckptr.save(path, payload)
-        if hasattr(self._ckptr, 'wait_until_finished'):
-            self._ckptr.wait_until_finished()
-        self._sync(f"commit_epoch{epoch}")
+        self._save(path, payload)
+        self._finish(lambda: self._sync(f"commit_epoch{epoch}"))
 
     def restore_epoch_model(self, epoch: int, template):
+        self._drain()
         path = os.path.join(self.models_dir, f"epoch_{epoch}")
-        return self._ckptr.restore(path, template)
+        return self._restore(path, template)
 
     def prune_epochs(self, keep: List[int]):
         """Delete epoch checkpoints not in ``keep`` (monitor.py:959-971)."""
+        self._drain()
         keep_set = {f"epoch_{e}" for e in keep}
         if self._is_primary():
             for name in os.listdir(self.models_dir):
@@ -142,10 +193,8 @@ class CheckpointManager:
         if self._is_primary() and os.path.exists(path):
             shutil.rmtree(path)
         self._sync("pre_average")
-        self._ckptr.save(path, {"params": avg})
-        if hasattr(self._ckptr, 'wait_until_finished'):
-            self._ckptr.wait_until_finished()
-        self._sync("commit_average")
+        self._save(path, {"params": avg})
+        self._finish(lambda: self._sync("commit_average"))
         return avg
 
 

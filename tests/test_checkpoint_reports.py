@@ -122,3 +122,49 @@ def test_set_random_seeds_controls(monkeypatch):
     a = random.random(); na = np.random.rand()
     set_random_seeds(123, same_proc_seed=True)
     assert random.random() == a and np.random.rand() == na
+
+
+def test_async_save_overlaps_and_commits(tmp_path):
+    """Async checkpointing: save_train_state returns before the commit
+    (tmp dir still uncommitted), a second save drains + commits the first,
+    and every read path self-drains — restore always sees the newest
+    committed state."""
+    from speechain_tpu.train.state import TrainState
+
+    cm = CheckpointManager(str(tmp_path / "exp"), async_save=True)
+    mk = lambda v: TrainState(
+        step=jnp.asarray(v, jnp.int32),
+        params={"w": np.full((4,), float(v), np.float32)},
+        opt_state=(), mutables={})
+
+    cm.save_train_state(mk(1), extra={"epoch": 1})
+    # commit is deferred: only close()/next-op finalizes the rename
+    cm.save_train_state(mk(2), extra={"epoch": 2})  # drains + commits #1
+    assert cm.has_checkpoint()                      # drains + commits #2
+    state, meta = cm.restore_train_state(mk(0))
+    assert meta["epoch"] == 2
+    np.testing.assert_allclose(state.params["w"], 2.0)
+    cm.close()
+
+    # sync mode still commits inline
+    cm2 = CheckpointManager(str(tmp_path / "exp2"), async_save=False)
+    cm2.save_train_state(mk(7), extra={"epoch": 7})
+    assert os.path.exists(os.path.join(cm2.exp_dir, "checkpoint"))
+    state, meta = cm2.restore_train_state(mk(0))
+    assert meta["epoch"] == 7 and float(state.params["w"][0]) == 7.0
+
+
+def test_async_epoch_models_average_prune(tmp_path):
+    """Epoch snapshots + N-best averaging + pruning through the async
+    checkpointer: each op drains the previous in-flight write."""
+    cm = CheckpointManager(str(tmp_path), async_save=True)
+    template = {"params": {"w": np.zeros((2, 2), np.float32)}}
+    for e, val in [(1, 1.0), (2, 3.0), (3, 5.0)]:
+        cm.save_epoch_model(e, {"w": np.full((2, 2), val, np.float32)})
+    avg = cm.average_models([1, 3], template)
+    np.testing.assert_allclose(avg["w"], 3.0)
+    cm.prune_epochs(keep=[2, 3])
+    cm.close()
+    assert not os.path.exists(os.path.join(cm.models_dir, "epoch_1"))
+    got = cm.restore_epoch_model(2, template)
+    np.testing.assert_allclose(got["params"]["w"], 3.0)
