@@ -140,6 +140,12 @@ def main(argv=None):
     p.add_argument("--feat_path", default=None, help="idx2feat file")
     p.add_argument("--save_path", default=None)
     p.add_argument("--sr", type=int, default=22050)
+    p.add_argument("--stream_chunk", type=int, default=0,
+                   help="vocode in exact streaming chunks of N mel frames "
+                        "(infer/streaming_tts.py): one fixed-shape dispatch "
+                        "per chunk, first audio after chunk+2*margin frames "
+                        "instead of the whole utterance; reports per-chunk "
+                        "latency. 0 = whole-utterance dispatch")
     args = p.parse_args(argv)
 
     if args.selftest:
@@ -160,13 +166,31 @@ def main(argv=None):
                                             write_idx2data_file, write_wav)
 
     model, variables = load_hifigan_vocoder(args.ckpt)
-    apply = jax.jit(model.apply)
+    voc = apply = None
+    if args.stream_chunk > 0:
+        from speechain_tpu.infer.streaming_tts import StreamingVocoder
+        voc = StreamingVocoder(model, variables,
+                               chunk_frames=args.stream_chunk)
+        print(f"streaming: chunk={voc.C} margin={voc.M} mel frames "
+              f"({voc.C * voc.U} samples/chunk)")
+    else:
+        apply = jax.jit(model.apply)
     idx2feat = read_idx2data_file(args.feat_path)
     os.makedirs(args.save_path, exist_ok=True)
     idx2wav = {}
     for idx, fpath in idx2feat.items():
         mel = np.asarray(read_data_by_path(fpath), np.float32)[None]
-        wav = np.asarray(apply(variables, mel))[0]
+        if voc is not None:
+            import time
+            t0, chunks, ticks = time.perf_counter(), [], []
+            for c in voc.stream(mel):
+                ticks.append(time.perf_counter() - t0)
+                chunks.append(c)
+            wav = np.concatenate(chunks, axis=1)[0]
+            print(f"[{idx}] first audio {ticks[0] * 1e3:.1f} ms, "
+                  f"{len(chunks)} chunks, total {ticks[-1] * 1e3:.1f} ms")
+        else:
+            wav = np.asarray(apply(variables, mel))[0]
         out = os.path.join(args.save_path, f"{idx}.wav")
         write_wav(out, wav, args.sr)
         idx2wav[idx] = out
