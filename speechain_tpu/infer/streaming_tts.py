@@ -174,3 +174,152 @@ class StreamingVocoder:
             return
         for s in range(emitted, T, self.C):
             yield self._chunk(buf, s, min(s + self.C, T), T)
+
+
+class StreamingARTTS:
+    """Incremental AR-TTS synthesis: the autoregressive decode loop runs
+    in jitted ticks of ``frames_per_tick`` steps instead of one monolithic
+    ``lax.while_loop``, yielding each tick's newly generated mel frames —
+    chain into :class:`StreamingVocoder`'s ``push`` for text -> audio
+    streaming (first audio long before the utterance finishes decoding).
+
+    Exactness: each tick's step replicates
+    ``infer/tts_decoding.py::tts_auto_regression``'s loop body (stop-point
+    bookkeeping, per-utterance caps, postnet-in-the-loop feedback,
+    inference-time prenet dropout keyed by the absolute step), and steps
+    past all-stopped are no-ops on the emitted buffer — the streamed mel
+    and lengths equal the offline decode (to f32 fusion-rounding
+    tolerance: scan and while_loop compile to differently fused kernels;
+    tests/test_streaming_tts.py).
+    """
+
+    def __init__(self, net, variables: Dict, *, frames_per_tick: int = 8,
+                 stop_threshold: float = 0.5, maxlen_ratio: float = 10.0,
+                 continual_steps: int = 0, use_before: bool = False,
+                 max_frames: int = 256, rng=None):
+        self.net = net
+        self.variables = variables
+        c = net.cfg
+        self.r = c.reduction_factor
+        self.n_mels = c.frontend.n_mels
+        self.feat_dim = self.n_mels * self.r
+        self.K = int(frames_per_tick)
+        self.F = int(max_frames)
+        self.maxlen_ratio = float(maxlen_ratio)
+        self.continual_steps = int(continual_steps)
+        self.use_before = bool(use_before)
+        self.rng = jax.random.PRNGKey(0) if rng is None else rng
+        self.logits_threshold = -math.log(1.0 / stop_threshold - 1.0)
+        self._prepare_j = jax.jit(self._prepare)
+        self._tick_j = jax.jit(self._tick, donate_argnums=(7,))
+
+    def _prepare(self, variables, text, text_len, spk_feat, spk_ids, rng):
+        net = self.net
+        base = {k: v for k, v in variables.items() if k != "cache"}
+        enc_text, enc_mask = net.apply(base, text, text_len,
+                                       spk_feat=spk_feat, spk_ids=spk_ids,
+                                       method=net.encode_text)
+        B = text.shape[0]
+        zero_frame = jnp.zeros((B, 1, self.feat_dim), jnp.float32)
+        _, primed = net.apply(
+            base, zero_frame, enc_text, enc_mask, spk_feat=spk_feat,
+            spk_ids=spk_ids, prime=True, cache_capacity=self.F,
+            method=net.decode_step, mutable=["cache"],
+            rngs={"dropout": rng})
+        return enc_text, enc_mask, primed["cache"]
+
+    def _tick(self, variables, enc_text, enc_mask, spk_feat, spk_ids,
+              text_len, rng, carry):
+        net, B, F = self.net, enc_text.shape[0], self.F
+        base = {k: v for k, v in variables.items() if k != "cache"}
+        per_utt_cap = (text_len.astype(jnp.float32) * self.maxlen_ratio
+                       / self.r + 1)
+
+        def one(s, _):
+            # mirror of tts_auto_regression's while body (tts_decoding.py)
+            (step, cache, before_buf, out_buf, last, stop_points, flags,
+             hlen) = s
+            (stop, before), upd = net.apply(
+                {**base, "cache": cache}, last, enc_text, enc_mask,
+                spk_feat=spk_feat, spk_ids=spk_ids, method=net.decode_step,
+                mutable=["cache"],
+                rngs={"dropout": jax.random.fold_in(rng, step)})
+            cache = upd["cache"]
+            before_buf = jax.lax.dynamic_update_slice(
+                before_buf, before, (0, step, 0))
+            if self.use_before:
+                frame = before
+            else:
+                after_buf = net.apply(base, before_buf,
+                                      method=net.apply_postnet)
+                frame = jax.lax.dynamic_slice(
+                    after_buf, (0, step, 0), (B, 1, self.feat_dim))
+            frame = jnp.where(flags[:, None, None], 0.0, frame)
+            out_buf = jax.lax.dynamic_update_slice(out_buf, frame,
+                                                   (0, step, 0))
+            hlen = jnp.where(flags, hlen, hlen + 1)
+            curr = step + 2
+            fired = stop[:, -1] > self.logits_threshold
+            stop_points = jnp.where(fired & (stop_points == 0), curr,
+                                    stop_points)
+            flags = ((stop_points != 0)
+                     & (curr >= stop_points + self.continual_steps)) | (
+                hlen.astype(jnp.float32) >= per_utt_cap - 1)
+            return (step + 1, cache, before_buf, out_buf, frame,
+                    stop_points, flags, hlen), None
+
+        start = carry[0]
+        carry, _ = jax.lax.scan(one, carry, None, length=self.K)
+        frames = jax.lax.dynamic_slice(carry[3], (0, start, 0),
+                                       (B, self.K, self.feat_dim))
+        return carry, frames, carry[6], carry[7]
+
+    def synthesize(self, text, text_len, spk_feat=None, spk_ids=None):
+        """Generator of per-tick dicts: ``mel`` (B, K*r, n_mels) — the
+        tick's newly generated frames, ``start`` (global mel-frame index
+        of mel[:, 0]), ``hypo_len`` (B,) valid mel frames so far, and
+        ``done``. Total steps never exceed ``max_frames``."""
+        text = jnp.asarray(text)
+        text_len = jnp.asarray(text_len, jnp.int32)
+        B = text.shape[0]
+        enc_text, enc_mask, cache = self._prepare_j(
+            self.variables, text, text_len, spk_feat, spk_ids, self.rng)
+        carry = (jnp.zeros((), jnp.int32), cache,
+                 jnp.zeros((B, self.F, self.feat_dim)),
+                 jnp.zeros((B, self.F, self.feat_dim)),
+                 jnp.zeros((B, 1, self.feat_dim), jnp.float32),
+                 jnp.zeros((B,), jnp.int32),
+                 jnp.zeros((B,), bool),
+                 jnp.zeros((B,), jnp.int32))
+        steps = 0
+        while True:
+            start = steps
+            carry, frames, flags, hlen = self._tick_j(
+                self.variables, enc_text, enc_mask, spk_feat, spk_ids,
+                text_len, self.rng, carry)
+            steps += self.K
+            done = bool(np.asarray(flags).all()) or steps >= self.F
+            mel = np.asarray(frames).reshape(B, self.K * self.r,
+                                             self.n_mels)
+            yield dict(mel=mel, start=start * self.r,
+                       hypo_len=np.asarray(hlen) * self.r, done=done)
+            if done:
+                return
+
+    def synthesize_audio(self, vocoder: StreamingVocoder, text, text_len,
+                         spk_feat=None, spk_ids=None):
+        """Text -> audio streaming for ONE utterance (B=1): pipes each
+        tick's valid new mel frames into ``vocoder.push`` and yields wave
+        chunks as they become computable. The concatenated audio equals
+        vocoding the offline decode's valid mel."""
+        assert int(jnp.asarray(text).shape[0]) == 1, \
+            "synthesize_audio streams a single utterance (B=1)"
+        pushed = 0
+        for out in self.synthesize(text, text_len, spk_feat=spk_feat,
+                                   spk_ids=spk_ids):
+            valid = int(out["hypo_len"][0])
+            take = max(0, min(valid - pushed, out["mel"].shape[1]))
+            if take:
+                yield from vocoder.push(out["mel"][:, :take])
+                pushed += take
+        yield from vocoder.finish()

@@ -102,3 +102,88 @@ def test_insufficient_margin_breaks_equality():
     voc = StreamingVocoder(net, variables, chunk_frames=16, margin_frames=1)
     got = np.concatenate(list(voc.stream(mel)), axis=1)
     assert not np.allclose(got, offline, atol=1e-4)
+
+
+def _tiny_artts():
+    from tests.test_tts import _artts_cfg
+
+    from speechain_tpu.models.ar_tts import ARTTSNet
+    cfg = _artts_cfg(enc_prenet=None, att_guid_sigma=0.0, spk_emb=None)
+    net = ARTTSNet(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.randint(rng, (2, 7), 1, 29)
+    text_len = jnp.array([7, 5])
+    wave = jax.random.normal(rng, (2, 8000, 1)) * 0.1
+    wl = jnp.array([8000, 8000])
+    variables = net.init({"params": rng, "dropout": rng}, text, text_len,
+                         wave, wl, train=False)
+    return net, variables, text, text_len
+
+
+def test_streaming_artts_equals_offline():
+    """The ticked AR decode must emit EXACTLY the offline
+    tts_auto_regression mel (same rng, caps, stop bookkeeping), including
+    a tick size that does not divide the frame budget."""
+    from speechain_tpu.infer.streaming_tts import StreamingARTTS
+    from speechain_tpu.infer.tts_decoding import tts_auto_regression
+
+    net, variables, text, text_len = _tiny_artts()
+    F = 20
+    off = tts_auto_regression(net, variables, text, text_len,
+                              max_frames=F, maxlen_ratio=4.0)
+
+    tts = StreamingARTTS(net, variables, frames_per_tick=3, max_frames=F,
+                         maxlen_ratio=4.0)
+    got, hypo_len = [], None
+    for out in tts.synthesize(text, text_len):
+        got.append(out["mel"])
+        hypo_len = out["hypo_len"]
+    mel = np.concatenate(got, axis=1)
+    offline = np.asarray(off["hypo_feat"])
+    off_len = np.asarray(off["hypo_feat_len"])
+    np.testing.assert_array_equal(hypo_len, off_len)
+    # offline returns the full F*r zero-padded buffer; the stream stops as
+    # soon as every row raised its flag — compare each row's valid region
+    # and require zeros beyond it on both sides
+    for b in range(mel.shape[0]):
+        L = int(off_len[b])
+        assert mel.shape[1] >= L
+        # scan vs while_loop compile to differently fused f32 kernels;
+        # equality is to fusion-rounding tolerance, not bit-exact
+        np.testing.assert_allclose(mel[b, :L], offline[b, :L], atol=1e-4)
+        assert (mel[b, L:] == 0).all() and (offline[b, L:] == 0).all()
+
+
+def test_streaming_artts_audio_pipe():
+    """Text -> audio: ticked AR mel pushed through the streaming vocoder
+    must equal offline decode + offline vocoding of the valid mel."""
+    from speechain_tpu.infer.streaming_tts import (StreamingARTTS,
+                                                   StreamingVocoder)
+    from speechain_tpu.infer.tts_decoding import tts_auto_regression
+    from speechain_tpu.nn.vocoder_hifigan import HiFiGAN
+
+    net, variables, text, text_len = _tiny_artts()
+    text, text_len = text[:1], text_len[:1]
+    F = 20
+    voc_net = HiFiGAN(in_channels=20,
+                      resblock_dilation_sizes=((1, 3), (1, 3)),
+                      resblock_kernel_sizes=(3, 5),
+                      upsample_kernel_sizes=(8, 4),
+                      upsample_initial_channel=16,
+                      upsample_factors=(4, 2))
+    voc_vars = voc_net.init(jax.random.PRNGKey(5),
+                            jnp.zeros((1, 8, 20)))
+
+    off = tts_auto_regression(net, variables, text, text_len,
+                              max_frames=F, maxlen_ratio=4.0)
+    L = int(off["hypo_feat_len"][0])
+    offline_wave = np.asarray(voc_net.apply(
+        voc_vars, off["hypo_feat"][:, :L]))
+
+    tts = StreamingARTTS(net, variables, frames_per_tick=4, max_frames=F,
+                         maxlen_ratio=4.0)
+    voc = StreamingVocoder(voc_net, voc_vars, chunk_frames=6)
+    chunks = list(tts.synthesize_audio(voc, text, text_len))
+    wave = np.concatenate(chunks, axis=1)
+    assert wave.shape == offline_wave.shape
+    np.testing.assert_allclose(wave, offline_wave, atol=1e-5)
