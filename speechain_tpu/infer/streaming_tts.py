@@ -35,6 +35,19 @@ import numpy as np
 Array = jnp.ndarray
 
 
+def _maybe_quantize(variables: Dict, weight_quant: Optional[str],
+                    min_elems: int) -> Dict:
+    """int8 weight-only serving (infer/quantize.py): quantize at build,
+    dequantize inside every jitted executable (XLA fuses the
+    convert+multiply into the consumers). Identity when off."""
+    if not weight_quant:
+        return variables
+    assert str(weight_quant).lower() == "int8", \
+        f"weight_quant must be 'int8', got {weight_quant!r}"
+    from speechain_tpu.infer.quantize import quantize_variables
+    return quantize_variables(variables, min_elems=min_elems)
+
+
 def vocoder_margin_frames(config: Optional[Dict] = None) -> int:
     """Receptive-field radius of the HiFi-GAN generator in MEL frames
     (conservative upper bound).
@@ -80,9 +93,12 @@ class StreamingVocoder:
     """
 
     def __init__(self, net, variables: Dict, *, chunk_frames: int = 40,
-                 margin_frames: Optional[int] = None):
+                 margin_frames: Optional[int] = None,
+                 weight_quant: Optional[str] = None,
+                 wq_min_elems: int = 8192):
         self.net = net
-        self.variables = variables
+        self.variables = _maybe_quantize(variables, weight_quant,
+                                         wq_min_elems)
         cfg = dict(
             upsample_factors=net.upsample_factors,
             upsample_kernel_sizes=net.upsample_kernel_sizes,
@@ -98,13 +114,16 @@ class StreamingVocoder:
         self._buf: Optional[np.ndarray] = None   # incremental mel buffer
         self._emitted = 0                        # frames already vocoded
 
+        from speechain_tpu.infer.quantize import dequantize_variables
+
         def tick(variables, mel_win, off):
-            wave = net.apply(variables, mel_win)     # (B, W*U)
+            wave = net.apply(dequantize_variables(variables), mel_win)
             return jax.lax.dynamic_slice_in_dim(wave, off, self.C * self.U,
                                                 axis=1)
 
         self._tick = jax.jit(tick)
-        self._offline = jax.jit(lambda v, m: net.apply(v, m))
+        self._offline = jax.jit(
+            lambda v, m: net.apply(dequantize_variables(v), m))
 
     def _chunk(self, mel: np.ndarray, s: int, e: int, T: int) -> np.ndarray:
         """Exact waveform for mel frames [s, e) of a (B, T, D) mel with
@@ -196,9 +215,12 @@ class StreamingARTTS:
     def __init__(self, net, variables: Dict, *, frames_per_tick: int = 8,
                  stop_threshold: float = 0.5, maxlen_ratio: float = 10.0,
                  continual_steps: int = 0, use_before: bool = False,
-                 max_frames: int = 256, rng=None):
+                 max_frames: int = 256, rng=None,
+                 weight_quant: Optional[str] = None,
+                 wq_min_elems: int = 8192):
         self.net = net
-        self.variables = variables
+        self.variables = _maybe_quantize(variables, weight_quant,
+                                         wq_min_elems)
         c = net.cfg
         self.r = c.reduction_factor
         self.n_mels = c.frontend.n_mels
@@ -214,7 +236,9 @@ class StreamingARTTS:
         self._tick_j = jax.jit(self._tick, donate_argnums=(7,))
 
     def _prepare(self, variables, text, text_len, spk_feat, spk_ids, rng):
+        from speechain_tpu.infer.quantize import dequantize_variables
         net = self.net
+        variables = dequantize_variables(variables)
         base = {k: v for k, v in variables.items() if k != "cache"}
         enc_text, enc_mask = net.apply(base, text, text_len,
                                        spk_feat=spk_feat, spk_ids=spk_ids,
@@ -230,7 +254,9 @@ class StreamingARTTS:
 
     def _tick(self, variables, enc_text, enc_mask, spk_feat, spk_ids,
               text_len, rng, carry):
+        from speechain_tpu.infer.quantize import dequantize_variables
         net, B, F = self.net, enc_text.shape[0], self.F
+        variables = dequantize_variables(variables)
         base = {k: v for k, v in variables.items() if k != "cache"}
         per_utt_cap = (text_len.astype(jnp.float32) * self.maxlen_ratio
                        / self.r + 1)

@@ -187,3 +187,45 @@ def test_streaming_artts_audio_pipe():
     wave = np.concatenate(chunks, axis=1)
     assert wave.shape == offline_wave.shape
     np.testing.assert_allclose(wave, offline_wave, atol=1e-5)
+
+
+def test_streaming_tts_int8_serving():
+    """weight_quant='int8' on both TTS streaming surfaces: the int8
+    streamed output must equal the int8 OFFLINE output (dequantized
+    weights), and differ from fp32 (the quantization actually bit)."""
+    from speechain_tpu.infer.quantize import (dequantize_variables,
+                                              quantize_variables)
+
+    net, variables = _small_vocoder()
+    mel = np.asarray(jax.random.normal(jax.random.PRNGKey(13),
+                                       (1, 100, 12)))
+    q = quantize_variables(variables, min_elems=256)
+    off_q = np.asarray(net.apply(dequantize_variables(q), jnp.asarray(mel)))
+    off_fp = np.asarray(net.apply(variables, jnp.asarray(mel)))
+    assert not np.allclose(off_q, off_fp, atol=1e-6)
+
+    voc = StreamingVocoder(net, variables, chunk_frames=16,
+                           weight_quant="int8", wq_min_elems=256)
+    np.testing.assert_allclose(voc(mel), off_q, atol=1e-5)
+
+    # AR-TTS ticks under int8: runs and matches its own offline-int8 decode
+    from speechain_tpu.infer.streaming_tts import StreamingARTTS
+    from speechain_tpu.infer.tts_decoding import tts_auto_regression
+    anet, avars, text, text_len = _tiny_artts()
+    aq = quantize_variables(avars, min_elems=256)
+    off = tts_auto_regression(anet, dequantize_variables(aq), text,
+                              text_len, max_frames=12, maxlen_ratio=4.0)
+    tts = StreamingARTTS(anet, avars, frames_per_tick=4, max_frames=12,
+                         maxlen_ratio=4.0, weight_quant="int8",
+                         wq_min_elems=256)
+    got, hl = [], None
+    for out in tts.synthesize(text, text_len):
+        got.append(out["mel"]); hl = out["hypo_len"]
+    mel_s = np.concatenate(got, axis=1)
+    off_len = np.asarray(off["hypo_feat_len"])
+    np.testing.assert_array_equal(hl, off_len)
+    for b in range(mel_s.shape[0]):
+        L = int(off_len[b])
+        np.testing.assert_allclose(mel_s[b, :L],
+                                   np.asarray(off["hypo_feat"])[b, :L],
+                                   atol=1e-4)
