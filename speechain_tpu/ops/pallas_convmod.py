@@ -73,6 +73,21 @@ def _tmod(rows: int, Tp: int):
     return r % Tp
 
 
+def _roll_rows(src, off: int):
+    """``rolled[r] = src[r + off]`` (circular) on the sublane axis.
+
+    ``jnp.roll`` on axis 0 fails Mosaic lowering on TPU ("Invalid type:
+    slice"); ``pltpu.roll`` is the proven path (ops/pallas_attention.py)
+    but requires a non-negative shift — rows is static, so reduce mod rows
+    in Python.
+    """
+    rows = src.shape[0]
+    shift = (-off) % rows
+    if shift == 0:
+        return src
+    return pltpu.roll(src, shift, 0)
+
+
 def _dw_shift_sum(src, tmod, weights, K: int, P: int, t_true: int,
                   sign: int):
     """``out[r] = sum_k w[k] * src[r + sign*(k - P)]`` on the flattened
@@ -84,7 +99,7 @@ def _dw_shift_sum(src, tmod, weights, K: int, P: int, t_true: int,
     out = None
     for k in range(K):
         off = sign * (k - P)
-        rolled = jnp.roll(src, -off, axis=0)       # rolled[r] = src[r+off]
+        rolled = _roll_rows(src, off)              # rolled[r] = src[r+off]
         valid = (tmod >= -off) & (tmod < t_true - off)
         term = jnp.where(valid, rolled, 0.0) * weights[k]
         out = term if out is None else out + term
@@ -161,7 +176,7 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
     rows_out = []
     for k in range(K):
         off = k - P
-        rolled = jnp.roll(a, -off, axis=0)
+        rolled = _roll_rows(a, off)
         valid = (tmod >= -off) & (tmod < t_true - off)
         prod = jnp.where(valid, rolled, 0.0) * du_tot
         rows_out.append(jnp.sum(prod, axis=0, keepdims=True))
