@@ -82,7 +82,15 @@ class MultiHeadedAttention(nn.Module):
 
     def _split(self, x: Array) -> Array:
         B, T = x.shape[0], x.shape[1]
-        return x.reshape(B, T, self.num_heads, self.head_size).transpose(0, 2, 1, 3)
+        heads = x.reshape(B, T, self.num_heads,
+                          self.head_size).transpose(0, 2, 1, 3)
+        # under a GSPMD mesh, pin (B, H, T, Dh) to batch->'data',
+        # heads->'model': without the hint the partitioner propagates param
+        # shardings through the reshape+transpose and falls back to full
+        # rematerialization on the decoder cross-attention (parallel/mesh.py
+        # hint_activation_sharding docstring; no-op outside GSPMD traces)
+        from speechain_tpu.parallel.mesh import hint_activation_sharding
+        return hint_activation_sharding(heads, "data", "model", None, None)
 
     @nn.compact
     def __call__(
@@ -235,6 +243,8 @@ class MultiHeadedAttention(nn.Module):
                          preferred_element_type=jnp.float32).astype(self.dtype)
         B, H, Tq, Dh = ctx.shape
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, H * Dh)
+        from speechain_tpu.parallel.mesh import hint_activation_sharding
+        ctx = hint_activation_sharding(ctx, "data", None, "model")
         out = dense("output_layer")(ctx)
         return out, (attmat if return_attmat else None)
 
@@ -287,9 +297,11 @@ class RelPosMultiHeadedAttention(nn.Module):
         of distance ``index + i - k``."""
         dense = lambda name: nn.DenseGeneral(
             features=self.d_model, dtype=self.dtype, name=name)
-        split = lambda x: x.reshape(
-            x.shape[0], x.shape[1], self.num_heads, self.head_size
-        ).transpose(0, 2, 1, 3)
+        from speechain_tpu.parallel.mesh import hint_activation_sharding
+        split = lambda x: hint_activation_sharding(
+            x.reshape(x.shape[0], x.shape[1], self.num_heads,
+                      self.head_size).transpose(0, 2, 1, 3),
+            "data", "model", None, None)
 
         pos_bias_u = self.param(
             "pos_bias_u", nn.initializers.xavier_uniform(),
@@ -424,5 +436,7 @@ class RelPosMultiHeadedAttention(nn.Module):
                          preferred_element_type=jnp.float32).astype(self.dtype)
         B, H, Tq, Dh = ctx.shape
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, H * Dh)
+        from speechain_tpu.parallel.mesh import hint_activation_sharding
+        ctx = hint_activation_sharding(ctx, "data", None, "model")
         out = dense("output_layer")(ctx)
         return out, (attmat if return_attmat else None)

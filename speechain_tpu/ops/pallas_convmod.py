@@ -27,8 +27,19 @@ tail T..Tp (an artifact of this kernel, not of the batch) is excluded.
 Backward recomputes the GLU input from x (one matmul — cheaper than the
 HBM round trips it replaces), re-reads the forward's depthwise output u for
 the statistics cotangents (ds, dss enter as du_tot = du + ds + 2 u dss),
-and accumulates weight gradients across grid steps in VMEM (same pattern
-as ops/pallas_ffn.py).
+and accumulates the pointwise-conv weight gradients across grid steps in
+VMEM (same pattern as ops/pallas_ffn.py).
+
+The DEPTHWISE weight gradient (ddwk/ddwb) is deliberately NOT computed in
+the kernel: its natural form is K independent full-column reduces plus a
+concatenate, and that pattern blows up the TPU kernel compiler when
+combined with the rest of the backward (BENCH_r03's `tpu_compile_helper
+exit 1`; probes/convmod_bisect{,2}.py: the kernel compiles in seconds
+without the ddwk loop, takes >130 s with ONLY the ddwk loop, and crashes
+the compiler with both). Instead the kernel exports the recomputed GLU
+activation ``a`` (float32, one extra HBM write it already holds in VMEM)
+and the wrapper computes ddwk as K shifted multiply-reduces in XLA —
+~0.4 GFLOP at production dims, fused by XLA, numerically identical.
 """
 
 from __future__ import annotations
@@ -141,7 +152,7 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, dwb_ref,
 
 
 def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
-                dss_ref, dx_ref, dw1_ref, db1_ref, ddwk_ref, ddwb_ref, *,
+                dss_ref, dx_ref, dw1_ref, db1_ref, a_ref, *,
                 K, P, t_true, Tp, C):
     i = pl.program_id(0)
     x2 = x_ref[...]
@@ -156,6 +167,10 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
     z = z.astype(x_ref.dtype).astype(jnp.float32)
     ag, gate = z[:, :C], jax.nn.sigmoid(z[:, C:])
     a = jnp.where(mask, ag * gate, 0.0)
+    # export the recomputed GLU activation: the XLA side of the backward
+    # computes the depthwise weight gradient from it (see module docstring
+    # for why ddwk cannot live in this kernel on the TPU toolchain)
+    a_ref[...] = a
 
     # stats cotangents fold into the depthwise-output cotangent
     u = u_ref[...].astype(jnp.float32)
@@ -171,19 +186,6 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
     da = _dw_shift_sum(du_tot, tmod, [dwk[k:k + 1, :] for k in range(K)],
                        K, P, t_true, -1)
     da = jnp.where(mask, da, 0.0)
-
-    # ddwk[k] = sum_{rows} a[r + k - P] * du_tot[r]
-    rows_out = []
-    for k in range(K):
-        off = k - P
-        rolled = _roll_rows(a, off)
-        valid = (tmod >= -off) & (tmod < t_true - off)
-        prod = jnp.where(valid, rolled, 0.0) * du_tot
-        rows_out.append(jnp.sum(prod, axis=0, keepdims=True))
-    Kp = dwk_ref.shape[0]
-    rows_out += [jnp.zeros_like(rows_out[0])] * (Kp - K)
-    ddwk = jnp.concatenate(rows_out, axis=0)
-    ddwb = jnp.sum(du_tot, axis=0, keepdims=True)
 
     # GLU backward
     dag = da * gate
@@ -202,15 +204,11 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
     def _():
         dw1_ref[...] = dw1
         db1_ref[...] = db1
-        ddwk_ref[...] = ddwk
-        ddwb_ref[...] = ddwb
 
     @pl.when(i > 0)
     def _():
         dw1_ref[...] = dw1_ref[...] + dw1
         db1_ref[...] = db1_ref[...] + db1
-        ddwk_ref[...] = ddwk_ref[...] + ddwk
-        ddwb_ref[...] = ddwb_ref[...] + ddwb
 
 
 def _specs(R, C, Kp):
@@ -281,23 +279,37 @@ def _bwd(K, res, g):
     dup = jnp.pad(du, ((0, 0), (0, Tp - T), (0, 0))).reshape(B * Tp, C)
     Bb = _pick_bb(B, Tp, C)
     blk, w1s, v1, dwks, vc = _specs(Bb * Tp, C, Kp)
+    blk_f32 = pl.BlockSpec((Bb * Tp, C), lambda i: (i, 0))
     cd = x2.dtype
-    dx, dw1, db1, ddwk, ddwb = pl.pallas_call(
+    dx, dw1, db1, a_flat = pl.pallas_call(
         functools.partial(_bwd_kernel, K=K, P=P, t_true=T, Tp=Tp, C=C),
         grid=(B // Bb,),
         in_specs=[blk, w1s, v1, dwks, blk, blk, vc, vc],
-        out_specs=[blk, w1s, v1, dwks, vc],
+        out_specs=[blk, w1s, v1, blk_f32],
         out_shape=[jax.ShapeDtypeStruct((B * Tp, C), cd),
                    jax.ShapeDtypeStruct((C, 2 * C), jnp.float32),
                    jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
-                   jax.ShapeDtypeStruct((Kp, C), jnp.float32),
-                   jax.ShapeDtypeStruct((1, C), jnp.float32)],
+                   jax.ShapeDtypeStruct((B * Tp, C), jnp.float32)],
         interpret=_interpret(),
     )(x2, w1.astype(cd), b1.reshape(1, 2 * C).astype(cd), dwk_p, u,
       dup.astype(cd), ds.reshape(1, C), dss.reshape(1, C))
+
+    # Depthwise weight gradient in XLA (see module docstring): the kernel
+    # already masked ``a`` to zero outside [0, T) within each utterance, so
+    # a plain zero-pad reproduces the kernel's validity masks exactly.
+    #   ddwk[k] = sum_{b,t} a[b, t + k - P] * du_tot[b, t]
+    u3 = u.reshape(B, Tp, C)[:, :T].astype(jnp.float32)
+    du_tot = (du.astype(cd).astype(jnp.float32)   # kernel reads du in cd
+              + ds.reshape(1, 1, C) + 2.0 * u3 * dss.reshape(1, 1, C))
+    a3 = a_flat.reshape(B, Tp, C)[:, :T]
+    ap = jnp.pad(a3, ((0, 0), (P, K - 1 - P), (0, 0)))
+    ddwk = jnp.stack(
+        [jnp.sum(ap[:, k:k + T] * du_tot, axis=(0, 1)) for k in range(K)])
+    ddwb = jnp.sum(du_tot, axis=(0, 1))
+
     return (dx.reshape(B, Tp, C)[:, :T].astype(jnp.result_type(cd)),
             dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
-            ddwk[:K].astype(dwk.dtype), ddwb[0].astype(dwk.dtype))
+            ddwk.astype(dwk.dtype), ddwb.astype(dwk.dtype))
 
 
 fused_conv_glu_dw.defvjp(_fwd, _bwd)

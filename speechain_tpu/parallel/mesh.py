@@ -100,6 +100,40 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
             for k, v in batch.items()}
 
 
+def hint_activation_sharding(x, *axis_names):
+    """Best-effort GSPMD activation hint: pin dim ``i`` of ``x`` to mesh
+    axis ``axis_names[i]`` (None = replicated) when the ambient mesh (set
+    via ``jax.set_mesh`` by :func:`train_step_gspmd`) carries that axis as
+    an Auto axis whose size divides the dim. No-op everywhere else: eager,
+    plain jit without an ambient mesh, and shard_map bodies (their axes are
+    Manual, never Auto).
+
+    Why this exists: XLA's SPMD partitioner propagates PARAM shardings
+    (tensor-parallel or FSDP seeds) onto attention activations, and the
+    head split/merge reshape+transpose then faces a sharding transition it
+    can only solve by full rematerialization — the "Involuntary full
+    rematerialization" spmd_partitioner warning seen on the decoder
+    cross-attention under FSDP meshes (MULTICHIP_r03). An explicit
+    batch/head constraint on the split tensors removes the ambiguity
+    (scaling-book recipe: annotate intermediates, don't hand-schedule).
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or not getattr(mesh, "axis_names", ()):
+        return x
+    auto = jax.sharding.AxisType.Auto
+    types = dict(zip(mesh.axis_names, mesh.axis_types))
+    spec, used = [], False
+    for dim, name in enumerate(axis_names):
+        ok = (name is not None and name in types
+              and types[name] == auto and mesh.shape[name] > 1
+              and x.shape[dim] % mesh.shape[name] == 0)
+        spec.append(name if ok else None)
+        used = used or ok
+    if not used:
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def param_sharding_rules(path: Tuple, leaf) -> P:
     """Default tensor-parallel rules: shard the widest axis of big Dense /
     Embed kernels over 'model'; everything else replicated.
@@ -225,9 +259,19 @@ def train_step_gspmd(step_fn: Callable, mesh: Mesh,
 
     ``rules`` overrides the param-sharding seeds (e.g.
     ``make_param_rules(mesh, fsdp=True)`` for the FSDP/ZeRO path).
+
+    The returned callable traces under ``jax.set_mesh(mesh)`` so
+    model-internal :func:`hint_activation_sharding` calls see the ambient
+    mesh and can pin the attention head split/merge layouts.
     """
-    return jax.jit(_gspmd_wrap(step_fn, mesh, rules),
-                   donate_argnums=(0,) if donate_state else ())
+    jitted = jax.jit(_gspmd_wrap(step_fn, mesh, rules),
+                     donate_argnums=(0,) if donate_state else ())
+
+    def run(state, batch, rng):
+        with jax.set_mesh(mesh):
+            return jitted(state, batch, rng)
+
+    return run
 
 
 def _gspmd_wrap(step_fn: Callable, mesh: Mesh,
@@ -281,12 +325,18 @@ def multi_batch_step_gspmd(step_fn: Callable, mesh: Mesh,
     meshes)."""
     wrapped = _gspmd_wrap(step_fn, mesh, rules)
 
-    def run(state, stacked, rng):
+    def scanned(state, stacked, rng):
         def one(carry, batch):
             return wrapped(carry, batch, rng)
         return jax.lax.scan(one, state, stacked)
 
-    return jax.jit(run, donate_argnums=(0,) if donate_state else ())
+    jitted = jax.jit(scanned, donate_argnums=(0,) if donate_state else ())
+
+    def run(state, stacked, rng):
+        with jax.set_mesh(mesh):
+            return jitted(state, stacked, rng)
+
+    return run
 
 
 def train_step_under_mesh(step_fn: Callable, mesh: Mesh,
