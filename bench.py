@@ -331,6 +331,10 @@ def _decode_bench(batch, net, state, n_chips, SECS):
         "decode_beam16_realtime_factor_per_chip": round(decode_rt_factor, 1),
         "decode_vs_baseline": round(
             decode_utt_per_sec / ref_decode_utt_per_sec, 2),
+        # unlike the measured train vs_baseline, the decode/TTS ratios rest
+        # on the anchored-FLOPs estimate above — label them as such so the
+        # JSON is self-describing
+        "decode_baseline_method": "anchored_flops_estimate",
     })
 
 
@@ -418,6 +422,7 @@ def _tts_bench(n_chips):
     _METRICS.update({
         "tts_synth_realtime_factor_per_chip": round(tts_rt_factor, 1),
         "tts_vs_baseline": round(tts_rt_factor / ref_tts_rt, 2),
+        "tts_baseline_method": "anchored_flops_estimate",
     })
 
 

@@ -38,7 +38,15 @@ class SEModule(nn.Module):
 
 
 class Res2Block(nn.Module):
-    """Res2Net split-conv block (speaker.py:22-44)."""
+    """Res2Net split-conv block (speaker.py:22-44).
+
+    Faithful to the reference's exact (idiosyncratic) dataflow: the conv
+    chain feeds each conv the previous CONV output (not conv+split), and
+    the output concatenates the first ``scale`` entries of the INTERLEAVED
+    list [s0, c0, s1, c1, ...] (speaker.py:38-43's double append + the
+    ``outputs[:scale]`` truncation) — required for checkpoint-level parity
+    with reference ``encoder.pth`` state dicts (see load_torch_speaker).
+    """
 
     channels: int
     kernel_size: int = 3
@@ -56,6 +64,7 @@ class Res2Block(nn.Module):
             out = nn.Conv(width, (self.kernel_size,), padding="SAME",
                           name=f"conv_{i}")(out)
             outputs.append(out)
+            outputs.append(splits[i + 1])
         return x + jnp.concatenate(outputs[: self.scale], axis=-1)
 
 
@@ -112,3 +121,100 @@ def speaker_cosine_similarity(emb_a: Array, emb_b: Array) -> Array:
     """Cosine similarity of L2-normalized embeddings
     (spk_sim_evaluation.py:43)."""
     return jnp.sum(emb_a * emb_b, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Pretrained-checkpoint interop: torch state dict -> flax variables.
+# Mirrors nn/vocoder_hifigan.py::load_torch_hifigan. The reference loads
+# ``encoder.pth`` state dicts saved from ITS OWN torch EncoderClassifier
+# (speaker.py:97-116 from_hparams -> load_state_dict), whose nn.Sequential
+# key layout ('model.0.weight', 'model.3.0.convs.{i}.weight', ...) is what
+# these remaps consume.
+# --------------------------------------------------------------------------
+
+def load_torch_speaker(state_dict, model_type: str = "ecapa"):
+    """Convert a torch EncoderClassifier state dict (reference
+    speaker.py:46-95 nn.Sequential layout) to flax variables for
+    :class:`EncoderClassifier`.
+
+    torch Conv1d kernels are (out, in, k) -> flax (k, in, out); Linear
+    weights (out, in) -> (in, out); BatchNorm1d weight/bias map to
+    scale/bias in 'params' and running_mean/var to mean/var in
+    'batch_stats'.
+    """
+    import numpy as np
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv(prefix):
+        return dict(kernel=jnp.asarray(np.transpose(
+            sd[prefix + ".weight"], (2, 1, 0))),
+            bias=jnp.asarray(sd[prefix + ".bias"]))
+
+    def linear(prefix):
+        return dict(kernel=jnp.asarray(sd[prefix + ".weight"].T),
+                    bias=jnp.asarray(sd[prefix + ".bias"]))
+
+    def bn_params(prefix):
+        return dict(scale=jnp.asarray(sd[prefix + ".weight"]),
+                    bias=jnp.asarray(sd[prefix + ".bias"]))
+
+    def bn_stats(prefix):
+        return dict(mean=jnp.asarray(sd[prefix + ".running_mean"]),
+                    var=jnp.asarray(sd[prefix + ".running_var"]))
+
+    if model_type == "ecapa":
+        n_convs = sum(1 for k in sd
+                      if k.startswith("model.3.0.convs.")
+                      and k.endswith(".weight"))
+        params = {
+            "conv1": conv("model.0"),
+            "bn1": bn_params("model.1"),
+            "res2block": {f"conv_{i}": conv(f"model.3.0.convs.{i}")
+                          for i in range(n_convs)},
+            "se": {"se_fc1": conv("model.3.1.se.1"),
+                   "se_fc2": conv("model.3.1.se.3")},
+            "bn2": bn_params("model.3.2"),
+            "fc": linear("model.6"),
+        }
+        stats = {"bn1": bn_stats("model.1"), "bn2": bn_stats("model.3.2")}
+    elif model_type == "xvector":
+        params = {
+            "tdnn0": conv("model.0"), "bn0": bn_params("model.1"),
+            "tdnn1": conv("model.3"), "bn1": bn_params("model.4"),
+            "tdnn2": conv("model.6"), "bn2": bn_params("model.7"),
+            "fc1": linear("model.11"), "fc2": linear("model.13"),
+        }
+        stats = {"bn0": bn_stats("model.1"), "bn1": bn_stats("model.4"),
+                 "bn2": bn_stats("model.7")}
+    else:
+        raise ValueError(model_type)
+    return {"params": params, "batch_stats": stats}
+
+
+def restore_speaker_variables(checkpoint: str, model_type: str = "ecapa"):
+    """CLI-facing restore: accepts an orbax directory OR a torch
+    .pt/.pth/.ckpt state dict (converted on the fly via
+    :func:`load_torch_speaker`)."""
+    import os
+    if os.path.isfile(checkpoint) and checkpoint.endswith(
+            (".pt", ".pth", ".ckpt")):
+        return load_speaker_encoder(checkpoint, model_type)[1]
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer().restore(
+        os.path.abspath(checkpoint), None)
+
+
+def load_speaker_encoder(checkpoint_path: str, model_type: str = "ecapa"):
+    """Load a local torch speaker-encoder checkpoint (.pt/.pth — the
+    reference's ``encoder.pth``, speaker.py:108-113). Returns
+    (model, variables). No-egress analog of the reference's from_hparams
+    download path."""
+    import torch
+
+    sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else v)
+          for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    model = EncoderClassifier(model_type=model_type)
+    return model, load_torch_speaker(sd, model_type)

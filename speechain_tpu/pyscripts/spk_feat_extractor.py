@@ -28,17 +28,18 @@ def main(argv=None):
     p.add_argument("--spk_model", default="ecapa",
                    choices=["ecapa", "xvector"])
     p.add_argument("--checkpoint", required=True,
-                   help="orbax checkpoint dir with the encoder variables")
+                   help="orbax checkpoint dir with the encoder variables, "
+                        "or a torch .pt/.pth state dict (the reference's "
+                        "encoder.pth) converted on the fly")
     p.add_argument("--sr", type=int, default=16000)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
-    from speechain_tpu.nn.speaker import EncoderClassifier
+    from speechain_tpu.nn.speaker import (EncoderClassifier,
+                                          restore_speaker_variables)
 
-    variables = ocp.StandardCheckpointer().restore(
-        os.path.abspath(args.checkpoint), None)
+    variables = restore_speaker_variables(args.checkpoint, args.spk_model)
     model = EncoderClassifier(model_type=args.spk_model)
     fe = LogMelFrontend(FrontendConfig(sr=args.sr, n_mels=80))
 

@@ -27,13 +27,12 @@ def _embed_all(idx2path: Dict[str, str], is_feat: bool, spk_model: str,
         return {i: np.asarray(read_data_by_path(p), np.float32).reshape(-1)
                 for i, p in idx2path.items()}
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
-    from speechain_tpu.nn.speaker import EncoderClassifier
+    from speechain_tpu.nn.speaker import (EncoderClassifier,
+                                          restore_speaker_variables)
     from speechain_tpu.ops.frontend import FrontendConfig, LogMelFrontend
 
-    variables = ocp.StandardCheckpointer().restore(
-        os.path.abspath(checkpoint), None)
+    variables = restore_speaker_variables(checkpoint, spk_model)
     model = EncoderClassifier(model_type=spk_model)
     fe = LogMelFrontend(FrontendConfig(sr=sr, n_mels=80))
     out = {}

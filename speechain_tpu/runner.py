@@ -1047,6 +1047,15 @@ def test_main(cfg: Dict, args):
         write_test_reports(out_dir,
                            idx2hypo=idx2hypo, idx2cer=idx2cer,
                            idx2wer=idx2wer, summary=summary)
+        # configurable (metric, mode, N) bad-case reports (reference
+        # ar_asr.py:330-339 defaults, infer_cfg.bad_cases_selection override)
+        from speechain_tpu.utils.reports import write_bad_case_reports
+        write_bad_case_reports(
+            out_dir,
+            metrics=dict(cer=idx2cer, wer=idx2wer, text_confid=idx2confid,
+                         feat_token_len_ratio=idx2ratio),
+            idx2hypo=idx2hypo,
+            selection=infer_cfg.get("bad_cases_selection"))
         from speechain_tpu.utils.reports import write_idx2_file
         write_idx2_file({k: f"{v:.4f}" for k, v in idx2confid.items()},
                         os.path.join(out_dir, "idx2text_confid"))

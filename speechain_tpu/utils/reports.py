@@ -35,6 +35,53 @@ def topn_bad_cases(idx2metric: Dict[str, float], n: int = 10,
     return items[:n]
 
 
+#: reference ASR defaults (model/ar_asr.py:330-339
+#: ``bad_cases_selection_init_fn``)
+DEFAULT_BAD_CASES_SELECTION = [
+    ["wer", "max", 30],
+    ["cer", "max", 30],
+    ["feat_token_len_ratio", "min", 30],
+    ["feat_token_len_ratio", "max", 30],
+    ["text_confid", "min", 30],
+    ["text_confid", "max", 30],
+]
+
+
+def write_bad_case_reports(out_dir: str,
+                           metrics: Dict[str, Dict[str, float]],
+                           idx2hypo: Dict[str, str],
+                           selection: Optional[List] = None) -> List[str]:
+    """Configurable per-(metric, mode, N) bad-case reports.
+
+    Mirrors reference monitor.py:1812-1837: each selection triple writes
+    ``top{num}_{mode}_{metric}.md`` listing the N utterances that sort
+    first by that metric in that mode ('max' = descending). ``selection``
+    comes from ``infer_cfg.bad_cases_selection`` (a list of triples, or one
+    bare triple — normalized like monitor.py:1443-1446); None applies the
+    reference ASR defaults, filtered to the metrics actually present.
+    Returns the written paths.
+    """
+    selection = (DEFAULT_BAD_CASES_SELECTION if selection is None
+                 else selection)
+    if selection and not isinstance(selection[0], (list, tuple)):
+        selection = [selection]
+    written = []
+    for metric, mode, num in selection:
+        data = metrics.get(metric)
+        if not data:
+            continue
+        num = int(num)
+        path = os.path.join(out_dir, f"top{num}_{mode}_{metric}.md")
+        rows = [[idx, f"{val:.4f}", idx2hypo.get(idx, "")]
+                for idx, val in topn_bad_cases(data, num, mode=mode)]
+        os.makedirs(out_dir, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(f"# Top-{num} {mode} {metric}\n\n"
+                    + md_table(["idx", metric, "hypothesis"], rows) + "\n")
+        written.append(path)
+    return written
+
+
 def write_test_reports(out_dir: str, *, idx2hypo: Dict[str, str],
                        idx2cer: Dict[str, float],
                        idx2wer: Dict[str, float],

@@ -168,3 +168,38 @@ def test_async_epoch_models_average_prune(tmp_path):
     assert not os.path.exists(os.path.join(cm.models_dir, "epoch_1"))
     got = cm.restore_epoch_model(2, template)
     np.testing.assert_allclose(got["params"]["w"], 3.0)
+
+
+def test_bad_case_selection_configurable(tmp_path):
+    """A custom (metric, mode, N) selection changes which report files are
+    written and what they rank by (reference ar_asr.py:330-339 +
+    monitor.py:1812-1837 semantics)."""
+    from speechain_tpu.utils.reports import write_bad_case_reports
+
+    out = str(tmp_path / "rep")
+    idx2hypo = {"a": "hello", "b": "worl", "c": "foo"}
+    metrics = dict(wer={"a": 0.0, "b": 1.0, "c": 0.5},
+                   text_confid={"a": 0.9, "b": 0.1, "c": 0.4})
+
+    # defaults: wer/max present, text_confid min+max present, cer absent
+    written = write_bad_case_reports(out, metrics, idx2hypo)
+    names = sorted(os.path.basename(p) for p in written)
+    assert "top30_max_wer.md" in names
+    assert "top30_min_text_confid.md" in names
+    assert not any("cer" in n for n in names)
+
+    # custom: one triple, different N/mode/metric -> different file + order
+    written = write_bad_case_reports(
+        out, metrics, idx2hypo, selection=[["text_confid", "min", 2]])
+    assert [os.path.basename(p) for p in written] == \
+        ["top2_min_text_confid.md"]
+    body = open(written[0]).read().splitlines()
+    rows = [ln for ln in body if ln.startswith("|") and "idx" not in ln
+            and "---" not in ln]
+    assert rows[0].startswith("|b|") and rows[1].startswith("|c|")
+    assert len(rows) == 2
+
+    # a single bare triple is normalized (monitor.py:1443-1446)
+    written = write_bad_case_reports(out, metrics, idx2hypo,
+                                     selection=["wer", "max", 1])
+    assert [os.path.basename(p) for p in written] == ["top1_max_wer.md"]

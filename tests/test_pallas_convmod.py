@@ -64,10 +64,12 @@ def test_gradients_match_reference():
 
     gf = jax.grad(loss_fused, argnums=tuple(range(5)))(*args)
     gr = jax.grad(loss_ref, argnums=tuple(range(5)))(*args)
-    # interpret mode (CPU) is numerically deterministic; on a real TPU the
-    # MXU accumulation order differs between the kernel and the XLA
+    # interpret mode is numerically deterministic; on a real TPU backend
+    # the MXU accumulation order differs between the kernel and the XLA
     # reference (measured worst case 2.4e-4 on dw1), so allow a bit more.
-    tol = 2e-4 if jax.default_backend() == "cpu" else 1e-3
+    # The predicate must match ops/pallas_convmod.py::_interpret (backends
+    # other than tpu/axon run interpret mode and get the tight tolerance).
+    tol = 1e-3 if jax.default_backend() in ("tpu", "axon") else 2e-4
     for a, b, name in zip(gf, gr, ["dx", "dw1", "db1", "ddwk", "ddwb"]):
         np.testing.assert_allclose(a, b, rtol=tol, atol=tol, err_msg=name)
 

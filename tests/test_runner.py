@@ -186,7 +186,9 @@ def test_runner_end_to_end(tmp_path):
     assert 0.0 <= results["test"]["wer"] <= 1.5
     out_dir = os.path.join(exp, "latest", "test")
     for artifact in ("idx2hypo_text", "idx2cer", "idx2wer",
-                     "overall_results.md"):
+                     "overall_results.md",
+                     # default bad-case selection (ar_asr.py:330-339)
+                     "top30_max_wer.md", "top30_min_text_confid.md"):
         assert os.path.exists(os.path.join(out_dir, artifact)), artifact
 
 
