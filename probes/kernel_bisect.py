@@ -79,7 +79,7 @@ def make(variant):
                     s = (ac + bd) * 0.0625
                 else:  # "aconly"
                     s = ac * 0.0625
-                s = _mask_scores(s, kmask, False, T)
+                s = _mask_scores(s, kmask, False)
                 if variant != "nosm":
                     p = _softmax_fp32(s)
                 else:
