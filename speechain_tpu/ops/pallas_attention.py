@@ -179,6 +179,18 @@ def _softmax_fp32(scores: Array) -> Array:
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+def _softmax_fold(scores: Array):
+    """``exp(s - max)`` and its row sum with the normalization DEFERRED:
+    forward kernels multiply the small (T, Dh) context output by 1/den
+    instead of dividing the (T, T) probability matrix — one full VPU pass
+    over the score matrix saved (probes/relpos_opt.py: relpos fwd 1.18 ->
+    1.03 ms/call at bench dims). Backward kernels keep the normalized
+    :func:`_softmax_fp32` (their formulas consume p itself)."""
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    return p, jnp.sum(p, axis=-1, keepdims=True)
+
+
 def _dropout_mask(shape, rate: float, seed_scalar):
     """Keep-mask / (1-rate), reproducible from ``seed_scalar`` so the
     backward regenerates the identical mask. On TPU the bits come from the
@@ -246,13 +258,14 @@ def _std_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref, *,
         for h in range(H):
             sl = slice(h * Dh, (h + 1) * Dh)                 # lane slice
             q, k, v = qg[:, sl], kg[:, sl], vg[:, sl]
-            p = _softmax_fp32(_std_scores(q, k, kmask, scale, causal))
+            p, den = _softmax_fold(_std_scores(q, k, kmask, scale, causal))
             if rate > 0.0:
                 p = p * _dropout_mask(
                     p.shape, rate, seed_ref[0] + ((i * G + g) * H + h))
-            o_ref[g, :, sl] = jax.lax.dot_general(
+            o = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                preferred_element_type=jnp.float32) / den
+            o_ref[g, :, sl] = o.astype(o_ref.dtype)
 
 
 def _std_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, g_ref,
@@ -429,13 +442,14 @@ def _rel_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,
             q, k, v = qg[:, sl], kg[:, sl], vg[:, sl]
             ph, bu, bv = ph_ref[:, sl], bu_ref[:, sl], bv_ref[:, sl]
             s = _rel_scores(q, k, ph, bu, bv, kmask, scale, T)
-            p = _softmax_fp32(s)
+            p, den = _softmax_fold(s)
             if rate > 0.0:
                 p = p * _dropout_mask(
                     p.shape, rate, seed_ref[0] + ((i * G + g) * H + h))
-            o_ref[g, :, sl] = jax.lax.dot_general(
+            o = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                preferred_element_type=jnp.float32) / den
+            o_ref[g, :, sl] = o.astype(o_ref.dtype)
 
 
 def _rel_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,
