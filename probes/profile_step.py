@@ -61,7 +61,10 @@ with jax.profiler.trace(outdir):
 print("trace written", flush=True)
 
 # parse xplane
-from tensorboard_plugin_profile.protobuf import xplane_pb2
+try:
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+except ImportError:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 paths = glob.glob(outdir + "/**/*.xplane.pb", recursive=True)
 print(paths)
 xs = xplane_pb2.XSpace()

@@ -47,6 +47,7 @@ def check(T, B=8, H=4, Dh=64):
           f"(default-precision ref noise floor {nerr:.2e})", flush=True)
     assert verr < 1e-4 and gerr < 3 * max(nerr, 1e-4), (T, verr, gerr, nerr)
 
-for T in (200, 201, 128, 137):
+import sys
+for T in [int(a) for a in sys.argv[1:]] or (200, 201, 128, 137):
     check(T)
 print("ALL OK")

@@ -57,6 +57,51 @@ def _shift(W, bf16_roll):
     return out.astype(jnp.float32)
 
 
+def make_v2(padrows):
+    """Production v2 body: qu/qv bias+scale folding, pre-padded ph band,
+    softmax fold. padrows=True additionally pads the W band rows to Rp
+    (fp32 jnp.pad) before the strided rotate — isolates whether the
+    unpadded-row (201, 512) rotate is the regression."""
+    P = -(-(2 * T + 8) // 128) * 128
+    Rp = -(-T // 8) * 8
+    c = (P - T + 1) % 8
+
+    def kern(seed_ref, q_ref, k_ref, v_ref, php_ref, bu_ref, bv_ref,
+             m_ref, o_ref):
+        i = pl.program_id(0)
+        Dh = D // H
+        for g in range(G):
+            kmask = m_ref[g]
+            qg, kg, vg = q_ref[g], k_ref[g], v_ref[g]
+            qf = qg.astype(jnp.float32)
+            qu_g = ((qf + bu_ref[...]) * scale).astype(dt)
+            qv_g = ((qf + bv_ref[...]) * scale).astype(dt)
+            for h in range(H):
+                sl = slice(h * Dh, (h + 1) * Dh)
+                kh, vh = kg[:, sl], vg[:, sl]
+                ac = lax.dot_general(
+                    qu_g[:, sl], kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                W = lax.dot_general(
+                    qv_g[:, sl], php_ref[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if padrows:
+                    W = jnp.pad(W, ((0, Rp - T), (0, 0)))
+                bd = pltpu.roll(W, P - T + 1 - c, 1, stride=1,
+                                stride_axis=0)[:T, :T]
+                s = _mask_scores(ac + bd, kmask, False)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                den = jnp.sum(p, axis=-1, keepdims=True)
+                p = p * _dropout_mask(p.shape, RATE,
+                                      seed_ref[0] + ((i * G + g) * H + h))
+                o = lax.dot_general(
+                    p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) / den
+                o_ref[g, :, sl] = o.astype(o_ref.dtype)
+    return kern
+
+
 def make(variant):
     use_exp2 = variant in ("exp2", "combo")
     use_fold = variant in ("fold", "combo")
@@ -107,19 +152,39 @@ def make(variant):
 
 
 def run(variant):
-    def one(qq):
-        return pl.pallas_call(
-            make(variant), grid=(B // G,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      _btd_spec(G, T, D), _btd_spec(G, T, D),
-                      _btd_spec(G, T, D),
-                      pl.BlockSpec((L, D), lambda i: (0, 0)),
-                      pl.BlockSpec((1, D), lambda i: (0, 0)),
-                      pl.BlockSpec((1, D), lambda i: (0, 0)),
-                      _gmask_spec(G, T)],
-            out_specs=_btd_spec(G, T, D),
-            out_shape=jax.ShapeDtypeStruct((B, T, D), dt),
-        )(seed, qq, k, v, ph, bu, bv, km)
+    if variant.startswith("v2"):
+        from speechain_tpu.ops.pallas_attention import _pad_ph_band
+        P = -(-(2 * T + 8) // 128) * 128
+        php = _pad_ph_band(ph, T, dt)
+        kern = make_v2(padrows=(variant == "v2pad"))
+
+        def one(qq):
+            return pl.pallas_call(
+                kern, grid=(B // G,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          _btd_spec(G, T, D), _btd_spec(G, T, D),
+                          _btd_spec(G, T, D),
+                          pl.BlockSpec((P, D), lambda i: (0, 0)),
+                          pl.BlockSpec((1, D), lambda i: (0, 0)),
+                          pl.BlockSpec((1, D), lambda i: (0, 0)),
+                          _gmask_spec(G, T)],
+                out_specs=_btd_spec(G, T, D),
+                out_shape=jax.ShapeDtypeStruct((B, T, D), dt),
+            )(seed, qq, k, v, php, bu, bv, km)
+    else:
+        def one(qq):
+            return pl.pallas_call(
+                make(variant), grid=(B // G,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          _btd_spec(G, T, D), _btd_spec(G, T, D),
+                          _btd_spec(G, T, D),
+                          pl.BlockSpec((L, D), lambda i: (0, 0)),
+                          pl.BlockSpec((1, D), lambda i: (0, 0)),
+                          pl.BlockSpec((1, D), lambda i: (0, 0)),
+                          _gmask_spec(G, T)],
+                out_specs=_btd_spec(G, T, D),
+                out_shape=jax.ShapeDtypeStruct((B, T, D), dt),
+            )(seed, qq, k, v, ph, bu, bv, km)
 
     @jax.jit
     def chain(qq):

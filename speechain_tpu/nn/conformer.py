@@ -93,6 +93,32 @@ class _ConvPointwiseParams(nn.Module):
         return k, b
 
 
+class _PointwiseConv(nn.Module):
+    """Kernel-size-1 conv computed as a matmul with nn.Conv-identical
+    params. ``nn.Conv(kernel_size=(1,))`` lowers to an XLA convolution
+    whose preferred operand layout is batch-minor ({2,0,1}), so every
+    hand-off with the matmul-layout ({2,1,0}) Pallas kernels inserted a
+    full (B, T, C) relayout copy — 74 copies ≈ 3.2 ms/step in the round-4
+    step trace. A dot keeps the matmul layout end to end; same math, same
+    fp32 accumulation, identical parameter tree."""
+
+    in_features: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        cd = self.dtype
+        y = jax.lax.dot_general(
+            x.astype(cd), k[0].astype(cd), (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + b.astype(jnp.float32)).astype(cd)
+
+
 class _DWParams(nn.Module):
     """DepthwiseConv1d-compatible {kernel (K, 1, C), bias} params."""
 
@@ -193,9 +219,9 @@ class ConvolutionModule(nn.Module):
                          axis_name=self.bn_axis_name, name="batch_norm")(
                 u, s / n, ss / n, train=train)
         else:
-            x = nn.Conv(2 * self.channels, kernel_size=(1,),
-                        padding="VALID", dtype=self.dtype,
-                        name="pointwise_conv1")(feat)
+            x = _PointwiseConv(self.channels, 2 * self.channels,
+                               dtype=self.dtype,
+                               name="pointwise_conv1")(feat)
             x = jax.nn.glu(x, axis=-1)
             x = DepthwiseConv1d(channels=self.channels,
                                 kernel_size=self.depthwise_kernel_size,
@@ -206,8 +232,8 @@ class ConvolutionModule(nn.Module):
                              axis_name=self.bn_axis_name,
                              name="batch_norm")(x)
         x = jax.nn.silu(x)
-        x = nn.Conv(self.channels, kernel_size=(1,), padding="VALID",
-                    dtype=self.dtype, name="pointwise_conv2")(x)
+        x = _PointwiseConv(self.channels, self.channels, dtype=self.dtype,
+                           name="pointwise_conv2")(x)
         return x
 
     def _decode(self, feat: Array, *, prime: bool,
@@ -221,8 +247,8 @@ class ConvolutionModule(nn.Module):
         if reset is not None:
             ctx_val = jnp.where(
                 jnp.asarray(reset).reshape(B, 1, 1), 0.0, ctx_val)
-        x = nn.Conv(2 * C, kernel_size=(1,), padding="VALID",
-                    dtype=self.dtype, name="pointwise_conv1")(feat)
+        x = _PointwiseConv(C, 2 * C, dtype=self.dtype,
+                           name="pointwise_conv1")(feat)
         xg = jax.nn.glu(x, axis=-1)                       # (B, T, C)
         xcat = jnp.concatenate([ctx_val, xg.astype(self.dtype)], 1)
         # valid (no-pad) depthwise conv over [context | chunk]: output t
@@ -249,8 +275,8 @@ class ConvolutionModule(nn.Module):
                          epsilon=1e-5, dtype=self.dtype,
                          name="batch_norm")(x)
         x = jax.nn.silu(x)
-        x = nn.Conv(C, kernel_size=(1,), padding="VALID",
-                    dtype=self.dtype, name="pointwise_conv2")(x)
+        x = _PointwiseConv(C, C, dtype=self.dtype,
+                           name="pointwise_conv2")(x)
         return x
 
 

@@ -409,23 +409,73 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # rel_shift, reference conformer/attention.py:26-46). In-kernel the shift
 # is a per-row circular left-roll by (T-1-i) on the zero-padded (T, 2T)
 # band; its transpose (for the backward) is the right-roll.
+#
+# Pass economics (measured, probes/relpos_fwd_bisect.py + relpos_opt.py):
+# at encoder dims the (T, T) score matrices are only ~40 vregs, so the
+# kernel is bound by the NUMBER of elementwise VPU passes, not by matmul
+# FLOPs or the rotate itself. Hence: biases and scale fold into the tiny
+# (T, D) qu/qv tensors (no (T, T)/(T, L) broadcast-add or scale passes),
+# ph arrives pre-padded into the roll band (no in-kernel pad pass), the
+# softmax normalization folds into the (T, Dh) context output, and the
+# backward consumes the FULL unshifted band (garbage columns annihilate
+# against the zero rows of the padded ph) instead of slicing it clean.
 
-def _rel_scores(q, k, ph, bu, bv, kmask, scale, T):
-    """Scores with rank-1 bias rows: (q+bu) k^T = q k^T + (bu k^T),
-    (q+bv) ph^T likewise — the bias contributions are (1, T)/(1, L)
-    vector matmuls instead of materializing q_u/q_v."""
-    cd = q.dtype
-    buk = jax.lax.dot_general(bu.astype(cd), k, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (1, T)
-    bvp = jax.lax.dot_general(bv.astype(cd), ph.astype(cd),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (1, L)
-    ac = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32) + buk
-    W = jax.lax.dot_general(q, ph.astype(cd), (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) + bvp
-    bd = _rel_shift_band(W, T)
-    s = (ac + bd) * scale
+def _band_geometry(T: int):
+    """(P, Rp, c): padded band width, sublane-rounded rows, column offset
+    that keeps the roll's base shift a multiple of 8 (Mosaic's strided
+    rotate wants the per-vreg shift window within 128 lanes)."""
+    P = -(-(2 * T + 8) // 128) * 128
+    Rp = -(-T // 8) * 8
+    c = (P - T + 1) % 8
+    return P, Rp, c
+
+
+def _pad_ph_band(ph, T: int, cd):
+    """Place ph (L, D) at row offset ``c`` inside a zero (P, D) band, ONCE
+    outside the kernel, so the in-kernel W matmul writes the roll operand
+    directly — the per-(g, h) (T, L) -> (Rp, P) pad pass disappears from
+    the kernel (VPU pass economics: at T=201 every (T, L) elementwise pass
+    costs as much as the matmuls that feed it)."""
+    L, D = ph.shape
+    P, _, c = _band_geometry(T)
+    pad = jnp.zeros((P, D), cd)
+    return jax.lax.dynamic_update_slice(pad, ph.astype(cd), (c, 0))
+
+
+def _qu_qv(qg, bu, bv, scale, cd):
+    """Fold the rank-1 biases AND the score scale into the tiny (T, D)
+    query tensors: (q+bu)*scale @ k^T == (q k^T + bu k^T) * scale, same for
+    the positional branch. Replaces two (T, T)/(T, L) broadcast-add passes
+    and the (T, T) scale multiply with two 2-vreg-wide (T, D) passes."""
+    qf = qg.astype(jnp.float32)
+    qu = ((qf + bu) * scale).astype(cd)
+    qv = ((qf + bv) * scale).astype(cd)
+    return qu, qv
+
+
+def _rel_scores2(qu, qv, k, phpad, kmask, T):
+    """scores = qu k^T + rel_shift(qv phpad^T); biases and scale are
+    pre-folded into qu/qv (:func:`_qu_qv`), phpad is the pre-placed
+    (P, Dh) band (:func:`_pad_ph_band`), so the MXU emits the roll
+    operand directly and the strided rotate consumes the (T, P) matmul
+    result with no pad pass at all (a bf16 row-pad concatenate crashes
+    Mosaic — "offset mismatch on non-concat dimension" — and the rotate
+    verified exact on unpadded rows for T in {64, 128, 137, 200, 201})."""
+    P, _, c = _band_geometry(T)
+    ac = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if _interpret():
+        # interpret mode: plain band + the log2 row-roll decomposition
+        L = 2 * T - 1
+        W = jax.lax.dot_general(qv, phpad[c:c + L], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        bd = _rel_shift_band(W, T)
+    else:
+        W = jax.lax.dot_general(qv, phpad, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        bd = pltpu.roll(W, P - T + 1 - c, 1, stride=1,
+                        stride_axis=0)[:, :T]
+    s = ac + bd
     return _mask_scores(s, kmask, False)
 
 
@@ -434,14 +484,16 @@ def _rel_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,
     i = pl.program_id(0)
     T, D = q_ref.shape[1], q_ref.shape[2]
     Dh = D // H
+    cd = q_ref.dtype
     for g in range(G):
         kmask = m_ref[g] if m_ref is not None else None
         qg, kg, vg = q_ref[g], k_ref[g], v_ref[g]            # (T, D)
+        qu_g, qv_g = _qu_qv(qg, bu_ref[...], bv_ref[...], scale, cd)
         for h in range(H):
             sl = slice(h * Dh, (h + 1) * Dh)
-            q, k, v = qg[:, sl], kg[:, sl], vg[:, sl]
-            ph, bu, bv = ph_ref[:, sl], bu_ref[:, sl], bv_ref[:, sl]
-            s = _rel_scores(q, k, ph, bu, bv, kmask, scale, T)
+            k, v = kg[:, sl], vg[:, sl]
+            s = _rel_scores2(qu_g[:, sl], qv_g[:, sl], k, ph_ref[:, sl],
+                             kmask, T)
             p, den = _softmax_fold(s)
             if rate > 0.0:
                 p = p * _dropout_mask(
@@ -452,27 +504,77 @@ def _rel_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,
             o_ref[g, :, sl] = o.astype(o_ref.dtype)
 
 
+def _rel_unshift_full(ds_c, T: int):
+    """Transpose of the forward rel-shift, returning the FULL (T, P)
+    band: dW_full[i, c + m] = ds[i, m - (T-1) + i] for m in [0, L); the
+    columns outside [c, c+L) carry roll garbage that every consumer
+    multiplies against the zero rows of the padded ph band, so no slice
+    pass is spent cleaning them (:func:`_pad_ph_band`)."""
+    P, Rp, c = _band_geometry(T)
+    L = 2 * T - 1
+    if _interpret():
+        dW = _rel_unshift_band(ds_c, T, L)            # exact (T, L)
+        return jnp.pad(dW, ((0, 0), (c, P - L - c)))
+    base = P - T + 1 - c
+    dsp = jnp.pad(ds_c, ((0, Rp - T), (0, P - T)))
+    ia = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    ib = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    J = (ia + ib == P - 1).astype(ds_c.dtype)          # anti-identity
+    rev = jax.lax.dot_general(dsp, J, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    # NB: the strided rotate must stay fp32 — bf16 lane-strided rolls
+    # crash the Mosaic compiler (probes/relpos_opt.py bf16roll variant)
+    rolled = pltpu.roll(rev, base, 1, stride=1, stride_axis=0)
+    out = jax.lax.dot_general(rolled, J, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out[:T]
+
+
+def _unshift_y(ds_c, T: int):
+    """``Y`` such that the unshifted full band is ``dW = Jr @ Y`` (row
+    flip): Y = roll_asc(flip0(pad(ds))). The row flip turns the unshift's
+    DESCENDING per-row shifts ascending (the only direction the strided
+    rotate supports) at the cost of (T/Rp)-sided anti-identity matmuls —
+    ~5x less flip work than reversing lanes with (P, P) anti-identities,
+    and consumers fold the outer flip away entirely (see _rel_bwd_kernel).
+    ds is placed at column offset c2 = (c + T - Rp) mod 8 so the base
+    shift stays a multiple of 8; the roll stays fp32 (bf16 strided rolls
+    crash Mosaic). Exactness: probes/unshift_variants.py."""
+    P, Rp, c = _band_geometry(T)
+    c2 = (c + T - Rp) % 8
+    s0 = (c - c2 + T - Rp) % P
+    ia = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    ib = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    J_T = (ia + ib == T - 1).astype(ds_c.dtype)
+    ds_f = jax.lax.dot_general(J_T, ds_c, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    X = jnp.pad(ds_f, ((Rp - T, 0), (c2, P - T - c2)))
+    return pltpu.roll(X, s0, 1, stride=1, stride_axis=0)
+
+
 def _rel_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,
                     m_ref, g_ref, dq_ref, dk_ref, dv_ref, dph_ref, dbu_ref,
                     dbv_ref, *, scale, rate, G, H):
     i = pl.program_id(0)
     T, D = q_ref.shape[1], q_ref.shape[2]
     Dh = D // H
-    L = ph_ref.shape[0]
-    for h in range(H):
-        sl = slice(h * Dh, (h + 1) * Dh)
-        dph_acc = None
-        dbu_acc = None
-        dbv_acc = None
-        for g in range(G):
-            kmask = m_ref[g] if m_ref is not None else None
-            q = q_ref[g][:, sl]
-            k = k_ref[g][:, sl]
-            v = v_ref[g][:, sl]
-            ph, bu, bv = ph_ref[:, sl], bu_ref[:, sl], bv_ref[:, sl]
-            cd = q.dtype
-            go = g_ref[g][:, sl]                       # stay in cd
-            s = _rel_scores(q, k, ph, bu, bv, kmask, scale, T)
+    L = dph_ref.shape[0]
+    P, Rp, c = _band_geometry(T)
+    cd = q_ref.dtype
+    dph_accs = [None] * H
+    dbu_accs = [None] * H
+    dbv_accs = [None] * H
+    for g in range(G):
+        kmask = m_ref[g] if m_ref is not None else None
+        qg, kg, vg, gg = q_ref[g], k_ref[g], v_ref[g], g_ref[g]
+        qu_g, qv_g = _qu_qv(qg, bu_ref[...], bv_ref[...], scale, cd)
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            k, v = kg[:, sl], vg[:, sl]
+            qu, qv = qu_g[:, sl], qv_g[:, sl]
+            phpad = ph_ref[:, sl]
+            go = gg[:, sl]                             # stay in cd
+            s = _rel_scores2(qu, qv, k, phpad, kmask, T)
             p = _softmax_fp32(s)
             if rate > 0.0:
                 dmask = _dropout_mask(
@@ -482,62 +584,98 @@ def _rel_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, ph_ref, bu_ref, bv_ref,
                 dmask = None
                 pt = p
             # matmuls run in the module compute dtype (bf16 on TPU) with
-            # fp32 accumulation; softmax derivative stays fp32
+            # fp32 accumulation; softmax derivative stays fp32.  No
+            # (T, T) scale pass: scale is pre-folded into qu/qv, so the
+            # score cotangent ds is w.r.t. the POST-scale logits and the
+            # chain factor lands on the small (T, Dh)/(1, Dh) grads below.
             pt_c = pt.astype(cd)
             dv = jax.lax.dot_general(pt_c, go, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             dpt = jax.lax.dot_general(go, v, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
             dp = dpt * dmask if dmask is not None else dpt
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             ds_c = ds.astype(cd)
-            # bd-path: dW = unshift(ds) — transpose of the forward roll
-            # (input pre-cast to the compute dtype so the J-flip matmuls
-            # run on the bf16 MXU path in production)
-            dW = _rel_unshift_band(ds.astype(cd), T, L)
-            dW_c = dW.astype(cd)
-            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) \
-                + jax.lax.dot_general(dW_c, ph.astype(cd),
-                                      (((1,), (0,)), ((), ())),
+            if _interpret():
+                # exact full-band unshift; consumers as written
+                dW_c = _rel_unshift_full(ds_c, T).astype(cd)     # (T, P)
+                bd_dq = jax.lax.dot_general(
+                    dW_c, phpad, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dph = jax.lax.dot_general(
+                    dW_c, qv, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dW_rows = jnp.sum(dW_c.astype(jnp.float32), axis=0,
+                                  keepdims=True)                 # (1, P)
+            else:
+                # Row-flip unshift with the second flip folded into each
+                # consumer: dW = Jr @ Y with Y = roll_asc(flip0(pad(ds))),
+                # so  dW @ phpad = Jrect2 (Y phpad)   ((T, Rp) flip of a
+                #                                      (Rp, Dh) — tiny),
+                #     dW^T @ qv = Y^T (Jrect qv)      (flip qv, not dW),
+                #     rowsum(dW) = colsum(Y)          (row perms are free)
+                # — the two (Rp, P) x (P, P) lane-reversal matmuls (~40%
+                # of this kernel's time, probes/unshift_variants.py) are
+                # gone; only (T|Rp)-sided anti-identities remain.
+                Y = _unshift_y(ds_c, T)                          # (Rp, P)
+                Y_c = Y.astype(cd)
+                ia = jax.lax.broadcasted_iota(jnp.int32, (Rp, T), 0)
+                ib = jax.lax.broadcasted_iota(jnp.int32, (Rp, T), 1)
+                Jrect = (ia + ib == Rp - 1).astype(cd)           # (Rp, T)
+                yph = jax.lax.dot_general(
+                    Y_c, phpad, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # (Rp, Dh)
+                bd_dq = jax.lax.dot_general(
+                    Jrect.astype(cd), yph.astype(cd),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # (T, Dh)
+                qv_f = jax.lax.dot_general(
+                    Jrect, qv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # (Rp, Dh)
+                dph = jax.lax.dot_general(
+                    Y_c, qv_f.astype(cd), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # (P, Dh)
+                dW_rows = jnp.sum(Y, axis=0, keepdims=True)      # (1, P)
+            dq = (jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-            qu = (q.astype(jnp.float32) + bu).astype(cd)
-            qv = (q.astype(jnp.float32) + bv).astype(cd)
+                  + bd_dq) * scale
             dk = jax.lax.dot_general(ds_c, qu, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            dph = jax.lax.dot_general(dW_c, qv, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
             dq_ref[g, :, sl] = dq.astype(dq_ref.dtype)
             dk_ref[g, :, sl] = dk.astype(dk_ref.dtype)
             dv_ref[g, :, sl] = dv.astype(dv_ref.dtype)
             # dbu = rowsum(dqu) = (rowsum over queries of ds) k;
             # dbv likewise via dW — rank-1, no dqu materialization
-            ds_rows = jnp.sum(ds, axis=0, keepdims=True)       # (1, T)
-            dW_rows = jnp.sum(dW, axis=0, keepdims=True)       # (1, L)
+            ds_rows = jnp.sum(ds, axis=0, keepdims=True) * scale   # (1, T)
             dbu = jax.lax.dot_general(ds_rows.astype(cd), k,
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-            dbv = jax.lax.dot_general(dW_rows.astype(cd), ph.astype(cd),
+            dbv = jax.lax.dot_general((dW_rows * scale).astype(cd), phpad,
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
             del dmask
-            dph_acc = dph if dph_acc is None else dph_acc + dph
-            dbu_acc = dbu if dbu_acc is None else dbu_acc + dbu
-            dbv_acc = dbv if dbv_acc is None else dbv_acc + dbv
+            dph_accs[h] = dph if dph_accs[h] is None else dph_accs[h] + dph
+            dbu_accs[h] = dbu if dbu_accs[h] is None else dbu_accs[h] + dbu
+            dbv_accs[h] = dbv if dbv_accs[h] is None else dbv_accs[h] + dbv
 
-        # accumulator outputs (lane-sliced per head) are revisited every
-        # grid step
+    # accumulator outputs (lane-sliced per head) are revisited every grid
+    # step; dph accumulates at the padded (P, Dh) band and is sliced back
+    # to the true (L, Dh) rows only here, once per head per grid step
+    for h in range(H):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        dph_h = dph_accs[h][c:c + L]
+
         @pl.when(i == 0)
-        def _(sl=sl, dph_acc=dph_acc, dbu_acc=dbu_acc, dbv_acc=dbv_acc):
-            dph_ref[:, sl] = dph_acc.astype(dph_ref.dtype)
-            dbu_ref[:, sl] = dbu_acc.astype(dbu_ref.dtype)
-            dbv_ref[:, sl] = dbv_acc.astype(dbv_ref.dtype)
+        def _(sl=sl, dph_h=dph_h, dbu_h=dbu_accs[h], dbv_h=dbv_accs[h]):
+            dph_ref[:, sl] = dph_h.astype(dph_ref.dtype)
+            dbu_ref[:, sl] = dbu_h.astype(dbu_ref.dtype)
+            dbv_ref[:, sl] = dbv_h.astype(dbv_ref.dtype)
 
         @pl.when(i > 0)
-        def _(sl=sl, dph_acc=dph_acc, dbu_acc=dbu_acc, dbv_acc=dbv_acc):
-            dph_ref[:, sl] = dph_ref[:, sl] + dph_acc.astype(dph_ref.dtype)
-            dbu_ref[:, sl] = dbu_ref[:, sl] + dbu_acc.astype(dbu_ref.dtype)
-            dbv_ref[:, sl] = dbv_ref[:, sl] + dbv_acc.astype(dbv_ref.dtype)
+        def _(sl=sl, dph_h=dph_h, dbu_h=dbu_accs[h], dbv_h=dbv_accs[h]):
+            dph_ref[:, sl] = dph_ref[:, sl] + dph_h.astype(dph_ref.dtype)
+            dbu_ref[:, sl] = dbu_ref[:, sl] + dbu_h.astype(dbu_ref.dtype)
+            dbv_ref[:, sl] = dbv_ref[:, sl] + dbv_h.astype(dbv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -561,15 +699,15 @@ def flash_relpos_attention(q: Array, k: Array, v: Array, ph: Array,
 def _rel_fwd(q, k, v, ph, bias_u, bias_v, seed, scale, num_heads,
              dropout_rate, key_mask):
     B, T, D = q.shape
-    L = ph.shape[0]
+    P = _band_geometry(T)[0]
     G = _pick_group(B, T, D, q.dtype.itemsize)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    ph_spec = pl.BlockSpec((L, D), lambda i: (0, 0))
+    ph_spec = pl.BlockSpec((P, D), lambda i: (0, 0))
     bias_spec = pl.BlockSpec((1, D), lambda i: (0, 0))
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
              _btd_spec(G, T, D), _btd_spec(G, T, D), _btd_spec(G, T, D),
              ph_spec, bias_spec, bias_spec]
-    args = [seed_arr, q, k, v, ph.astype(q.dtype),
+    args = [seed_arr, q, k, v, _pad_ph_band(ph, T, q.dtype),
             bias_u.astype(jnp.float32).reshape(1, D),
             bias_v.astype(jnp.float32).reshape(1, D)]
     kw = dict(scale=scale, rate=dropout_rate, G=G, H=num_heads)
@@ -596,13 +734,15 @@ def _rel_bwd(scale, num_heads, dropout_rate, res, g):
     q, k, v, ph, bias_u, bias_v, seed_arr, key_mask = res
     B, T, D = q.shape
     L = ph.shape[0]
+    P = _band_geometry(T)[0]
     G = _pick_group(B, T, D, q.dtype.itemsize)
-    ph_spec = pl.BlockSpec((L, D), lambda i: (0, 0))
+    ph_spec = pl.BlockSpec((P, D), lambda i: (0, 0))
+    dph_spec = pl.BlockSpec((L, D), lambda i: (0, 0))
     bias_spec = pl.BlockSpec((1, D), lambda i: (0, 0))
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
              _btd_spec(G, T, D), _btd_spec(G, T, D), _btd_spec(G, T, D),
              ph_spec, bias_spec, bias_spec]
-    args = [seed_arr, q, k, v, ph.astype(q.dtype),
+    args = [seed_arr, q, k, v, _pad_ph_band(ph, T, q.dtype),
             bias_u.astype(jnp.float32).reshape(1, D),
             bias_v.astype(jnp.float32).reshape(1, D)]
     kw = dict(scale=scale, rate=dropout_rate, G=G, H=num_heads)
@@ -621,7 +761,7 @@ def _rel_bwd(scale, num_heads, dropout_rate, res, g):
         kern,
         grid=(B // G,),
         in_specs=specs,
-        out_specs=[_btd_spec(G, T, D)] * 3 + [ph_spec, bias_spec,
+        out_specs=[_btd_spec(G, T, D)] * 3 + [dph_spec, bias_spec,
                                               bias_spec],
         out_shape=[jax.ShapeDtypeStruct((B, T, D), q.dtype)] * 3 + [
             jax.ShapeDtypeStruct((L, D), jnp.float32),
