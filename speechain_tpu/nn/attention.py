@@ -32,6 +32,23 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+def _dense_flat(mod, x: Array) -> Array:
+    """Apply a last-axis Dense to a rank-3 (B, T, D) input as a 2-D matmul.
+
+    XLA's TPU backend lowers the rank-3 (B, T, D) x (D, F) dot_general with
+    its batch-in-sublanes CONVOLUTION emitter (round-4 step trace:
+    ``convolution_add_fusion`` at ~67.7k estimated cycles vs ~18k for the
+    equivalent plain matmul) whose preferred {2,0,1} operand layout also
+    forced a full (B, T, D) relayout copy at every hand-off with the
+    row-major Pallas kernels — 74 copies/step. Flattening to (B*T, D)
+    selects the matmul emitter; the reshapes are layout bitcasts.
+    Non-rank-3 inputs pass through unchanged."""
+    if x.ndim != 3:
+        return mod(x)
+    B, T = x.shape[0], x.shape[1]
+    return mod(x.reshape(B * T, x.shape[2])).reshape(B, T, -1)
+
+
 def _flash_eligible(decode, cross_cache, cached_kv, return_attmat, mask,
                     q, k, causal) -> bool:
     """Route through the fused Pallas kernel? Requires a plain training
@@ -130,8 +147,9 @@ class MultiHeadedAttention(nn.Module):
             the fused Pallas path below.
         """
         assert self.d_model % self.num_heads == 0
-        dense = lambda name: nn.DenseGeneral(
+        _mod = lambda name: nn.DenseGeneral(
             features=self.d_model, dtype=self.dtype, name=name)
+        dense = lambda name: (lambda x, m=_mod(name): _dense_flat(m, x))
 
         if _flash_eligible(decode, cross_cache, cached_kv, return_attmat,
                            mask, q, k, causal):
@@ -295,8 +313,9 @@ class RelPosMultiHeadedAttention(nn.Module):
         (1, cap, D) rows for relative distances [cap-1 .. 0]; the
         Transformer-XL rel_shift is replaced by a per-(query,key) gather
         of distance ``index + i - k``."""
-        dense = lambda name: nn.DenseGeneral(
+        _mod = lambda name: nn.DenseGeneral(
             features=self.d_model, dtype=self.dtype, name=name)
+        dense = lambda name: (lambda x, m=_mod(name): _dense_flat(m, x))
         from speechain_tpu.parallel.mesh import hint_activation_sharding
         split = lambda x: hint_activation_sharding(
             x.reshape(x.shape[0], x.shape[1], self.num_heads,
@@ -326,9 +345,9 @@ class RelPosMultiHeadedAttention(nn.Module):
             qf = dense("q_layer")(q)                   # (B, T, D) — no
             kf = dense("k_layer")(k)                   # head transposes;
             vf = dense("v_layer")(v)                   # lanes ARE heads
-            pf = nn.DenseGeneral(
+            pf = _dense_flat(nn.DenseGeneral(
                 features=self.d_model, use_bias=False, dtype=self.dtype,
-                name="pos_layer")(posenc)[0]           # (2T-1, D)
+                name="pos_layer"), posenc)[0]          # (2T-1, D)
             rate = self.dropout if train and self.dropout > 0.0 else 0.0
             seed = _flash_seed(self, rate)
             km = None if mask is None else mask[:, 0].astype(jnp.int32)
@@ -342,8 +361,9 @@ class RelPosMultiHeadedAttention(nn.Module):
         qh = split(dense("q_layer")(q))
         kh = split(dense("k_layer")(k))
         vh = split(dense("v_layer")(v))
-        p = nn.DenseGeneral(features=self.d_model, use_bias=False,
-                            dtype=self.dtype, name="pos_layer")(posenc)
+        p = _dense_flat(nn.DenseGeneral(features=self.d_model,
+                                        use_bias=False, dtype=self.dtype,
+                                        name="pos_layer"), posenc)
         ph = p.reshape(p.shape[0], p.shape[1], self.num_heads,
                        self.head_size).transpose(0, 2, 1, 3)  # (1,H,2T-1,Dh)
 

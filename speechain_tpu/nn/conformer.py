@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from speechain_tpu.nn.norms import LayerNorm
+from speechain_tpu.nn.norms import FlatDropout, LayerNorm
 from speechain_tpu.nn.attention import RelPosMultiHeadedAttention
 from speechain_tpu.nn.feed_forward import PositionwiseFeedForward
 from speechain_tpu.nn.posenc import RelPositionalEncoding
@@ -304,7 +304,7 @@ class ConformerEncoderLayer(nn.Module):
                  cache_capacity: Optional[int] = None, prime: bool = False,
                  decode_advance: Optional[Array] = None,
                  decode_reset: Optional[Array] = None):
-        drop = nn.Dropout(self.res_dropout, deterministic=not train)
+        drop = FlatDropout(self.res_dropout, deterministic=not train)
         ffn = lambda name: PositionwiseFeedForward(
             d_model=self.d_model, fdfwd_dim=self.fdfwd_dim,
             fdfwd_type=self.fdfwd_type, fdfwd_activation=self.fdfwd_activation,

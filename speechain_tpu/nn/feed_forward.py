@@ -123,7 +123,9 @@ class PositionwiseFeedForward(nn.Module):
                 out = residual + res_scale * out
             return out
         if self.fdfwd_type == "linear":
-            h = nn.Dense(self.fdfwd_dim, dtype=self.dtype, name="in_layer")(x)
+            from speechain_tpu.nn.attention import _dense_flat
+            h = _dense_flat(nn.Dense(self.fdfwd_dim, dtype=self.dtype,
+                                     name="in_layer"), x)
         elif self.fdfwd_type == "conv":
             ks = int(args.pop("kernel_size", 3))
             h = nn.Conv(self.fdfwd_dim, kernel_size=(ks,), padding="SAME",
@@ -134,7 +136,9 @@ class PositionwiseFeedForward(nn.Module):
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         if self.fdfwd_type == "linear":
-            out = nn.Dense(self.d_model, dtype=self.dtype, name="out_layer")(h)
+            from speechain_tpu.nn.attention import _dense_flat
+            out = _dense_flat(nn.Dense(self.d_model, dtype=self.dtype,
+                                       name="out_layer"), h)
         else:
             ks = int((self.fdfwd_args or {}).get("kernel_size", 3))
             out = nn.Conv(self.d_model, kernel_size=(ks,), padding="SAME",

@@ -17,6 +17,31 @@ from speechain_tpu.ops.pallas_layernorm import (fused_layer_norm,
 Array = jnp.ndarray
 
 
+class FlatDropout(nn.Module):
+    """``nn.Dropout`` with the mask drawn on a rank-2 flattening.
+
+    XLA TPU's rng-bit-generator prefers the batch-in-sublanes {2,0,1}
+    layout for rank-3 outputs, so a dropout on (B, T, D) drags the
+    surrounding residual-add fusion into {2,0,1} and XLA inserts a full
+    (B, T, D) relayout copy at the next row-major Pallas-kernel hand-off
+    (75 copies ~= 3.2 ms/step in the round-4 step trace). Drawing the
+    mask at (B*T, D) keeps the whole chain in the matmul layout; the
+    reshapes are bitcasts. Identical distribution, different (but still
+    per-call deterministic) bit assignment."""
+
+    rate: float
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x):
+        if x.ndim != 3 or self.rate <= 0.0 or self.deterministic:
+            return nn.Dropout(self.rate,
+                              deterministic=self.deterministic)(x)
+        B, T, D = x.shape
+        return nn.Dropout(self.rate, deterministic=False)(
+            x.reshape(B * T, D)).reshape(B, T, D)
+
+
 class LayerNorm(nn.Module):
     """See module docstring."""
 

@@ -22,6 +22,8 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+
+from speechain_tpu.nn.norms import FlatDropout
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,7 +97,7 @@ class PositionalEncoding(nn.Module):
             pe = pe * alpha
         out = emb_feat + pe.astype(emb_feat.dtype)
         if self.dropout > 0.0:
-            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+            out = FlatDropout(self.dropout, deterministic=not train)(out)
         return out
 
 
@@ -141,5 +143,5 @@ class RelPositionalEncoding(nn.Module):
         else:
             L = x.shape[1]
             pos_emb = table[None, center - (L - 1): center + L]
-        drop = nn.Dropout(self.dropout, deterministic=not train)
+        drop = FlatDropout(self.dropout, deterministic=not train)
         return drop(x), drop(pos_emb.astype(x.dtype))

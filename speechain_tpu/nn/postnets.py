@@ -26,7 +26,9 @@ class TokenPostnet(nn.Module):
 
     @nn.compact
     def __call__(self, feat: Array) -> Array:
-        return nn.Dense(self.vocab_size, dtype=self.dtype, name="linear")(feat)
+        from speechain_tpu.nn.attention import _dense_flat
+        return _dense_flat(
+            nn.Dense(self.vocab_size, dtype=self.dtype, name="linear"), feat)
 
 
 class Conv1dPostnet(nn.Module):

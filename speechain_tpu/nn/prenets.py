@@ -117,8 +117,10 @@ class LinearPrenet(nn.Module):
         dims = _as_list(self.lnr_dims)
         drops = (_as_list(self.lnr_dropout, len(dims))
                  if self.lnr_dropout is not None else [None] * len(dims))
+        from speechain_tpu.nn.attention import _dense_flat
         for i, dim in enumerate(dims):
-            feat = nn.Dense(dim, dtype=self.dtype, name=f"linear_{i}")(feat)
+            feat = _dense_flat(
+                nn.Dense(dim, dtype=self.dtype, name=f"linear_{i}"), feat)
             if self.lnr_activation is not None:
                 last = i == len(dims) - 1
                 if not (last and self.zero_centered

@@ -23,7 +23,7 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from speechain_tpu.nn.norms import LayerNorm
+from speechain_tpu.nn.norms import FlatDropout, LayerNorm
 from speechain_tpu.nn.attention import MultiHeadedAttention
 from speechain_tpu.nn.feed_forward import PositionwiseFeedForward
 from speechain_tpu.nn.posenc import PositionalEncoding
@@ -54,7 +54,7 @@ class TransformerEncoderLayer(nn.Module):
                  decode_index: Optional[Array] = None):
         ln_att = LayerNorm(epsilon=1e-6, name="att_layernorm")
         ln_ff = LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
-        drop = nn.Dropout(self.res_dropout, deterministic=not train)
+        drop = FlatDropout(self.res_dropout, deterministic=not train)
 
         x = ln_att(src) if self.layernorm_first else src
         att_hidden, attmat = MultiHeadedAttention(
@@ -241,7 +241,7 @@ class TransformerDecoderLayer(nn.Module):
         ln_self = LayerNorm(epsilon=1e-6, name="self_att_layernorm")
         ln_cross = LayerNorm(epsilon=1e-6, name="cross_att_layernorm")
         ln_ff = LayerNorm(epsilon=1e-6, name="fdfwd_layernorm")
-        drop = nn.Dropout(self.res_dropout, deterministic=not train)
+        drop = FlatDropout(self.res_dropout, deterministic=not train)
 
         x = ln_self(tgt) if self.layernorm_first else tgt
         self_hidden, self_attmat = MultiHeadedAttention(

@@ -169,8 +169,13 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, dwk_ref, u_ref, du_ref, ds_ref,
     a = jnp.where(mask, ag * gate, 0.0)
     # export the recomputed GLU activation: the XLA side of the backward
     # computes the depthwise weight gradient from it (see module docstring
-    # for why ddwk cannot live in this kernel on the TPU toolchain)
-    a_ref[...] = a
+    # for why ddwk cannot live in this kernel on the TPU toolchain).  On
+    # TPU the export is in the compute dtype (bf16): the ddwk reduce-loop
+    # fusion is bandwidth-bound (~50 GB/s kLoop, 52 MB/occurrence in the
+    # round-4 step trace), so halving a's bytes halves its cost, and the
+    # products already carry bf16-forward noise; interpret mode keeps f32
+    # so the CPU equivalence tests stay exact.
+    a_ref[...] = a.astype(a_ref.dtype)
 
     # stats cotangents fold into the depthwise-output cotangent
     u = u_ref[...].astype(jnp.float32)
@@ -279,17 +284,18 @@ def _bwd(K, res, g):
     dup = jnp.pad(du, ((0, 0), (0, Tp - T), (0, 0))).reshape(B * Tp, C)
     Bb = _pick_bb(B, Tp, C)
     blk, w1s, v1, dwks, vc = _specs(Bb * Tp, C, Kp)
-    blk_f32 = pl.BlockSpec((Bb * Tp, C), lambda i: (i, 0))
+    blk_a = pl.BlockSpec((Bb * Tp, C), lambda i: (i, 0))
     cd = x2.dtype
+    a_dtype = jnp.float32 if _interpret() else cd
     dx, dw1, db1, a_flat = pl.pallas_call(
         functools.partial(_bwd_kernel, K=K, P=P, t_true=T, Tp=Tp, C=C),
         grid=(B // Bb,),
         in_specs=[blk, w1s, v1, dwks, blk, blk, vc, vc],
-        out_specs=[blk, w1s, v1, blk_f32],
+        out_specs=[blk, w1s, v1, blk_a],
         out_shape=[jax.ShapeDtypeStruct((B * Tp, C), cd),
                    jax.ShapeDtypeStruct((C, 2 * C), jnp.float32),
                    jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
-                   jax.ShapeDtypeStruct((B * Tp, C), jnp.float32)],
+                   jax.ShapeDtypeStruct((B * Tp, C), a_dtype)],
         interpret=_interpret(),
     )(x2, w1.astype(cd), b1.reshape(1, 2 * C).astype(cd), dwk_p, u,
       dup.astype(cd), ds.reshape(1, C), dss.reshape(1, C))
