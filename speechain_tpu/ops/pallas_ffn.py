@@ -69,7 +69,11 @@ def _fwd_kernel(*refs, act_name, rate, res_rate=0.0, alpha=1.0,
     z = jax.lax.dot_general(x, k1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + \
         b1_ref[...].astype(jnp.float32)
-    h = act(z).astype(x.dtype)
+    # activation in the module compute dtype: halves the VPU vregs of the
+    # widest (rows, F) elementwise pass in production (bf16) and matches
+    # the XLA path, which computes the activation in the Dense output
+    # dtype; fp32 callers (CPU equivalence tests) are unchanged
+    h = act(z.astype(x.dtype))
     if rate > 0.0:
         h = (h * _dropout_mask(h.shape, rate, seed_ref[0] + i)).astype(
             x.dtype)
@@ -108,7 +112,8 @@ def _bwd_kernel(*refs, act_name, rate, res_rate=0.0, alpha=1.0,
     z = jax.lax.dot_general(x, k1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + \
         b1_ref[...].astype(jnp.float32)
-    h, act_vjp = jax.vjp(act, z)
+    # same compute-dtype activation as the forward (bit-identical h)
+    h, act_vjp = jax.vjp(act, z.astype(x.dtype))
     if rate > 0.0:
         dmask = _dropout_mask(h.shape, rate, seed_ref[0] + i)
         ht = (h * dmask).astype(x.dtype)
@@ -124,11 +129,11 @@ def _bwd_kernel(*refs, act_name, rate, res_rate=0.0, alpha=1.0,
     dht = jax.lax.dot_general(g_c, k2_ref[...], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dh = dht * dmask if dmask is not None else dht
-    dz = act_vjp(dh)[0]
+    dz = act_vjp(dh.astype(h.dtype))[0]
     dz_c = dz.astype(cd)
     dk1 = jax.lax.dot_general(x, dz_c, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    db1 = jnp.sum(dz, axis=0, keepdims=True)
+    db1 = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
     dx = jax.lax.dot_general(dz_c, k1_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dx_ref[...] = dx.astype(dx_ref.dtype)
