@@ -195,6 +195,83 @@ class Conv1dPrenet(nn.Module):
         return feat, feat_len
 
 
+class _Conv2dParams(nn.Module):
+    """nn.Conv-compatible {kernel (kh, kw, Cin, Cout)} params without the
+    conv — consumed by the fused prenet kernel; tree byte-identical to
+    nn.Conv(use_bias=False, name=<same>)."""
+
+    kh: int
+    kw: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.kh, self.kw, self.cin, self.cout),
+                          jnp.float32)
+
+
+class _BNAffine(nn.Module):
+    """flax.linen.BatchNorm-compatible params/stats that RETURNS the
+    normalization affine (g = gamma/sigma, b = beta - mu*g) instead of
+    applying it — the fused prenet kernel applies it in-pass. Batch
+    moments arrive precomputed (analytically, from the patch statistics:
+    ops/pallas_prenet.py); running stats update + axis_name pmean sync
+    match nn.BatchNorm (momentum 0.9, eps 1e-5)."""
+
+    channels: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, batch_mean, batch_mean2, *, train: bool):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.channels,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros,
+                                (self.channels,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", jnp.ones,
+                               (self.channels,), jnp.float32)
+        if train:
+            mean, mean2 = batch_mean, batch_mean2
+            if self.axis_name is not None and not self.is_initializing():
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1.0 - self.momentum)
+                                 * jax.lax.stop_gradient(mean))
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1.0 - self.momentum)
+                                * jax.lax.stop_gradient(var))
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        g = scale * jax.lax.rsqrt(var + self.epsilon)
+        return g, bias - mean * g
+
+
+def _prenet_fused_ok(conv_dims, kernel, stride, pad, batchnorm, drops,
+                     act, T: int, F: int) -> bool:
+    from speechain_tpu.ops.pallas_prenet import fused_prenet_enabled, geom
+    if not fused_prenet_enabled():
+        return False
+    if (len(conv_dims) != 2 or conv_dims[0] != conv_dims[1]
+            or conv_dims[0] % 128 != 0):
+        return False
+    if kernel != (3, 3) or stride != (2, 2) or pad != (0, 0):
+        return False
+    if not batchnorm or any(d is not None for d in drops):
+        return False
+    if act is None:
+        return False
+    U1, F1, T2, F2, _, _ = geom(T, F)
+    return T2 >= 2 and F2 >= 1
+
+
 class Conv2dPrenet(nn.Module):
     """2-D conv downsampling + linear projection — the ASR-encoder prenet
     (Speech-Transformer style, prenet/conv2d.py:15-280).
@@ -245,6 +322,56 @@ class Conv2dPrenet(nn.Module):
                else (self.conv_padding, self.conv_padding))
         drops = (_as_list(self.conv_dropout, len(conv_dims))
                  if self.conv_dropout is not None else [None] * len(conv_dims))
+
+        if _prenet_fused_ok(conv_dims, kernel, stride, pad,
+                            self.conv_batchnorm, drops,
+                            self.conv_activation,
+                            feat.shape[1], feat.shape[2]):
+            # fused conv1+BN1+act+conv2 core (ops/pallas_prenet.py): the
+            # (B, T/2, F/2, C) conv1 activation never touches HBM and its
+            # BatchNorm batch moments come analytically from the patch
+            # statistics; BN2 + act + flatten + linear stay as below
+            from speechain_tpu.ops.pallas_prenet import (
+                build_patches, fused_prenet_core, geom, patch_stats)
+            C = conv_dims[0]
+            B, T, F = feat.shape
+            U1, F1, T2, F2, Up, Vp = geom(T, F)
+            w1 = _Conv2dParams(3, 3, 1, C, name="conv_0")()
+            w2 = _Conv2dParams(3, 3, C, C, name="conv_1")()
+            cd = self.dtype
+            M = build_patches(feat, cd)
+            w1f = jnp.pad(w1.reshape(9, C), ((0, 7), (0, 0)))
+            if train:
+                S, G = patch_stats(M)
+                n1 = B * U1 * F1
+                mean1 = (S @ w1f) / n1
+                mean2 = jnp.einsum("jc,jk,kc->c", w1f,
+                                   G.astype(jnp.float32), w1f) / n1
+            else:
+                mean1 = mean2 = jnp.zeros((C,), jnp.float32)
+            g1, b1 = _BNAffine(channels=C, axis_name=self.bn_axis_name,
+                               name="batchnorm_0")(mean1, mean2,
+                                                   train=train)
+            out20 = fused_prenet_core(M, w1f, g1, b1,
+                                      w2.reshape(9, C, C),
+                                      T2, F2, self.conv_activation)
+            x = out20.reshape(B, T2, Vp, C)[:, :, :F2, :]
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.bn_axis_name,
+                             name="batchnorm_1")(x)
+            x = get_activation(self.conv_activation)(x)
+            feat = x.reshape(B, T2, F2 * C)
+            feat_len = self.out_len(feat_len, conv_dims, kernel, stride)
+            if self.lnr_dims is not None:
+                feat, feat_len = LinearPrenet(
+                    lnr_dims=_as_list(self.lnr_dims),
+                    lnr_activation=self.lnr_activation,
+                    lnr_dropout=self.lnr_dropout,
+                    zero_centered=self.zero_centered,
+                    dtype=self.dtype, name="linear")(feat, feat_len,
+                                                     train=train)
+            return feat, feat_len
 
         x = feat[..., None]  # (B, T, F, 1)
         for i, dim in enumerate(conv_dims):

@@ -1,0 +1,396 @@
+"""Fused ASR conv2d-prenet core (Pallas, fwd + custom vjp).
+
+Why: the reference prenet (prenet/conv2d.py:15-280; conformer-large
+recipes use conv_dims=[d_model, d_model], kernel 3, stride 2, BatchNorm,
+LeakyReLU) produces a (B, T/2, F/2, C) conv1 activation — 2.6 GB bf16 at
+the bench config — that XLA must materialize in HBM (conv1+BN-stats
+fusion writes it, the conv2 forward re-reads it, the conv1 weight-grad
+and conv2 data-grad re-read/re-write it): ~13 GB of HBM traffic per step
+for ~1.2 GFLOP of conv1 compute. This kernel keeps conv1 values VMEM-
+resident: conv2 consumes them as they are recomputed, forward and
+backward (round-4 step trace: the prenet stack was ~18.7 ms of a 104 ms
+step, ~9 ms of it conv2's inherent 3x571 GFLOP MXU work which this
+kernel keeps, the rest traffic which it removes).
+
+Three ideas make it a good TPU program:
+
+1. ANALYTIC BatchNorm statistics. conv1 (in_channels=1, no bias under
+   batchnorm) is linear in the 9 patch values, so over all positions
+     sum[c]   = sum_j S_j w1[j, c]
+     sumsq[c] = sum_{j,j'} G_{jj'} w1[j, c] w1[j', c]
+   with S = M^T 1 (9,) and G = M^T M (9, 9) reductions of the patch
+   matrix M — tiny XLA matmuls over the (positions, 9) patch matrix, no
+   pass over the conv1 activation at all. Because the stats are computed
+   OUTSIDE the kernel as differentiable XLA functions of w1, the kernel
+   treats the resulting BN affine (g1 = gamma/sigma, b1 = beta - mu*g1)
+   as an independent input and autodiff recovers the full train-mode
+   BatchNorm backward (mean/var paths included) with no hand-written BN
+   vjp.
+
+2. PHASE-SPLIT layout. conv1 output positions are split by (t', f')
+   parity into 4 phase planes stored as flattened (u * Vp + vb, C) rows
+   (Vp = F2 + 1, one pad slot per f-row). Both convs have stride 2, so
+   every conv2 tap (dt, df) reads phase (dt%2, df%2) at a CONSTANT row
+   offset (dt//2)*Vp + (df//2): the 2-D stride-2 convolution becomes 9
+   unit-stride-sliced (rows, C) x (C, C) matmuls — big-M MXU work, no
+   gather, no im2col of the wide activation.
+
+3. PATCH MATRIX from the small side. in_channels=1 means the im2col of
+   the INPUT is only 9x the (B, T, F) spectrogram (~37 MB bf16) — built
+   once in XLA as (B, 4, Up*Vp, 16) (9 taps zero-padded to 16 lanes) and
+   reused by the forward, the backward, and the S/G statistics.
+
+Reference semantics: prenet/conv2d.py:15-280 (2 blocks, VALID padding,
+stride 2, BatchNorm momentum 0.9 eps 1e-5 including every output
+position in the stats, activation after BN). The second conv's output is
+returned pre-BN2 (flax BatchNorm handles BN2 exactly as before).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (TPU lowering)
+
+from speechain_tpu.nn.feed_forward import get_activation
+
+Array = jnp.ndarray
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def fused_prenet_enabled() -> bool:
+    """OPT-IN (SPEECHAIN_FORCE_FUSED_PRENET=1) until the kernel clears the
+    toolchain: the unrolled chunk loop currently OOMs Mosaic's scoped-vmem
+    STACK allocation at bench dims (per-iteration temporaries are not
+    reused across the unroll — 18-23 MB vs the 16 MB limit) and compile
+    time grows pathologically with the body. Numerics are proven
+    (tests/test_pallas_prenet.py: fwd/grads/BN stats vs the unfused path);
+    the fori_loop restructure is the tracked fix."""
+    import os
+    if os.environ.get("SPEECHAIN_DISABLE_PALLAS"):
+        return False
+    return bool(os.environ.get("SPEECHAIN_FORCE_FUSED_PRENET"))
+
+
+def geom(T: int, F: int):
+    """VALID stride-2 kernel-3 twice: conv1 (U1, F1), conv2 (T2, F2);
+    phase planes are (Up = T2 + 1) x (Vp = F2 + 1) with one f pad slot."""
+    U1, F1 = (T - 3) // 2 + 1, (F - 3) // 2 + 1
+    T2, F2 = (U1 - 3) // 2 + 1, (F1 - 3) // 2 + 1
+    return U1, F1, T2, F2, T2 + 1, F2 + 1
+
+
+def build_patches(mel: Array, dtype) -> Array:
+    """(B, T, F) -> (B, 4, Up*Vp, 16) patch matrix M with
+    M[b, 2*pt+pf, u*Vp+vb, 3*a+b] = mel[b, 4u+2pt+a, 4vb+2pf+b] for valid
+    conv1 positions (t' = 2u+pt < U1, f' = 2vb+pf < F1), zero elsewhere
+    (pad slots and taps reaching past the spectrogram edge)."""
+    B, T, F = mel.shape
+    U1, F1, T2, F2, Up, Vp = geom(T, F)
+    # pad so every strided slice below is in range; invalid rows are
+    # zeroed explicitly afterwards
+    melp = jnp.pad(mel, ((0, 0), (0, 4 * Up + 4 - T), (0, 4 * Vp + 4 - F)))
+    planes = []
+    for pt in (0, 1):
+        for pf in (0, 1):
+            taps = []
+            for a in range(3):
+                for b in range(3):
+                    sl = jax.lax.slice(
+                        melp,
+                        (0, 2 * pt + a, 2 * pf + b),
+                        (B, 2 * pt + a + 4 * (Up - 1) + 1,
+                         2 * pf + b + 4 * (Vp - 1) + 1),
+                        (1, 4, 4))                       # (B, Up, Vp)
+                    taps.append(sl)
+            m = jnp.stack(taps, axis=-1)                 # (B, Up, Vp, 9)
+            # zero invalid conv1 positions of this phase
+            uu = jnp.arange(Up)[:, None]
+            vv = jnp.arange(Vp)[None, :]
+            valid = ((2 * uu + pt < U1) & (2 * vv + pf < F1))
+            m = jnp.where(valid[None, :, :, None], m, 0.0)
+            planes.append(m.reshape(B, Up * Vp, 9))
+    M = jnp.stack(planes, axis=1)                        # (B, 4, R, 9)
+    return jnp.pad(M, ((0, 0), (0, 0), (0, 0), (0, 7))).astype(dtype)
+
+
+def patch_stats(M: Array):
+    """S (16,) and G (16, 16) fp32 over all samples/phases/rows — the
+    sufficient statistics for conv1's BatchNorm batch moments."""
+    B = M.shape[0]
+    Mf = M.reshape(B * M.shape[1] * M.shape[2], 16)
+    S = jnp.sum(Mf.astype(jnp.float32), axis=0)
+    G = jax.lax.dot_general(Mf, Mf, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return S, G
+
+
+_TAPS = [(dt, df) for dt in range(3) for df in range(3)]
+
+
+def _conv1_chunk(m_ref, w1c, g1, b1, act, p, lo, rows):
+    """act(BN1-affine(conv1)) for `rows` flat rows of phase p starting at
+    lo — an MXU (rows, 16) x (16, C) matmul plus two row-broadcast VPU
+    passes, recomputed on demand (never materialized to HBM). Stays f32:
+    Mosaic's sublane rotate (used for the constant-row-offset tap slices)
+    only supports 32-bit data; tap slices cast to the compute dtype after
+    slicing."""
+    mc = m_ref[p, pl.ds(lo, rows), :]
+    z = jax.lax.dot_general(mc, w1c, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return act(z * g1 + b1), z
+
+
+def _fwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, o_ref, *,
+                T2, F2, Vp, C, chunk, act_name):
+    act = get_activation(act_name)
+    cd = o_ref.dtype
+    w1c = w1_ref[...].astype(m_ref.dtype)
+    g1 = g1_ref[...]
+    b1 = b1_ref[...]
+    n_chunks = -(-T2 // chunk)
+    for ci in range(n_chunks):
+        t0 = ci * chunk
+        tc = min(chunk, T2 - t0)
+        xs = [
+            _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0 * Vp,
+                         (tc + 1) * Vp)[0]
+            for p in range(4)
+        ]
+        acc = None
+        for t, (dt, df) in enumerate(_TAPS):
+            p = (dt % 2) * 2 + (df % 2)
+            off = (dt // 2) * Vp + (df // 2)
+            xsl = pltpu.roll(xs[p], (-off) % ((tc + 1) * Vp),
+                             0)[:tc * Vp].astype(cd)
+            term = jax.lax.dot_general(
+                xsl, w2_ref[t].astype(cd), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        o_ref[pl.ds(t0 * Vp, tc * Vp), :] = acc.astype(cd)
+
+
+def _bwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, du_ref,
+                dw2_ref, a_ref, sdy_ref, sdyz_ref, *,
+                T2, F2, Vp, C, chunk, act_name):
+    i = pl.program_id(0)
+    act = get_activation(act_name)
+    cd = du_ref.dtype
+    w1c = w1_ref[...].astype(m_ref.dtype)
+    g1 = g1_ref[...]
+    b1 = b1_ref[...]
+    R = du_ref.shape[0]                                  # T2 * Vp
+
+    dw2_acc = [None] * 9
+    A_acc = None
+    sdy_acc = None
+    sdyz_acc = None
+    n_chunks = -(-T2 // chunk)
+    for ci in range(n_chunks):
+        t0 = ci * chunk
+        tc = min(chunk, T2 - t0)
+        rows = (tc + 1) * Vp
+        for p in range(4):
+            h, z = _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0 * Vp,
+                                rows)
+            # dh for this phase chunk: sum over the taps that read it,
+            # each a constant-offset slice of the (padded) du
+            dh = None
+            for t, (dt, df) in enumerate(_TAPS):
+                if (dt % 2) * 2 + (df % 2) != p:
+                    continue
+                off = (dt // 2) * Vp + (df // 2)
+                # du row r_out contributes to phase row r_out + off:
+                # local phase row r gets du[t0*Vp + r - off]
+                lo = t0 * Vp - off
+                # clamp-by-padding: du_ref was padded with Vp+1 leading
+                # and Vp+1 trailing zero rows by the wrapper
+                sl = du_ref[pl.ds(lo + Vp + 1, rows), :]
+                term = jax.lax.dot_general(
+                    sl, w2_ref[t].astype(cd), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dh = term if dh is None else dh + term
+                # conv2 weight grad for this tap: h rows shifted by off
+                # against du rows — reuse the forward's slicing identity
+                hs = pltpu.roll(h, (-off) % rows, 0)[:tc * Vp].astype(cd)
+                dus = du_ref[pl.ds(t0 * Vp + Vp + 1, tc * Vp), :]
+                dw2_t = jax.lax.dot_general(
+                    hs, dus, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dw2_acc[t] = (dw2_t if dw2_acc[t] is None
+                              else dw2_acc[t] + dw2_t)
+            # activation backward at this chunk
+            y = z * g1 + b1
+            _, act_vjp = jax.vjp(act, y)
+            dy = act_vjp(dh)[0]                          # (rows, C) f32
+            # mask the halo row-block (u = t0+tc) so chunk overlaps do
+            # not double-count the reductions — EXCEPT in the last chunk,
+            # whose halo rows (u = T2, conv1 t' = 2*T2+pt) are real conv1
+            # positions consumed only as halo: their dy counts exactly
+            # once, here
+            if ci < n_chunks - 1:
+                ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+                dy = jnp.where(ridx < tc * Vp, dy, 0.0)
+            mc = m_ref[p, pl.ds(t0 * Vp, rows), :]
+            A_p = jax.lax.dot_general(mc.astype(cd), dy.astype(cd),
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            A_acc = A_p if A_acc is None else A_acc + A_p
+            s1 = jnp.sum(dy, axis=0, keepdims=True)
+            s2 = jnp.sum(dy * z, axis=0, keepdims=True)
+            sdy_acc = s1 if sdy_acc is None else sdy_acc + s1
+            sdyz_acc = s2 if sdyz_acc is None else sdyz_acc + s2
+
+    # per-tap ref writes — a 9-way stack/concatenate is exactly the
+    # pattern class that crashed tpu_compile_helper in the conv-module
+    # backward (ops/pallas_convmod.py docstring)
+    @pl.when(i == 0)
+    def _():
+        for t in range(9):
+            dw2_ref[t] = (jnp.zeros((C, C), jnp.float32)
+                          if dw2_acc[t] is None else dw2_acc[t])
+        a_ref[...] = A_acc
+        sdy_ref[...] = sdy_acc
+        sdyz_ref[...] = sdyz_acc
+
+    @pl.when(i > 0)
+    def _():
+        for t in range(9):
+            if dw2_acc[t] is not None:
+                dw2_ref[t] = dw2_ref[t] + dw2_acc[t]
+        a_ref[...] = a_ref[...] + A_acc
+        sdy_ref[...] = sdy_ref[...] + sdy_acc
+        sdyz_ref[...] = sdyz_ref[...] + sdyz_acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_prenet_core(M: Array, w1: Array, g1: Array, b1: Array,
+                      w2: Array, T2: int, F2: int,
+                      act_name: str) -> Array:
+    """conv2(act(g1 * conv1(M) + b1)) on the phase-split layout.
+
+    M: (B, 4, Up*Vp, 16) patch matrix (:func:`build_patches`);
+    w1: (16, C) fp32 (conv1 kernel flattened, taps zero-padded);
+    g1/b1: (1, C) fp32 BatchNorm-1 affine (computed OUTSIDE from the
+    analytic batch stats so autodiff owns the mean/var paths);
+    w2: (9, C, C) fp32 (conv2 kernel, taps-major). Returns the PRE-BN2
+    conv2 output in the padded (B, T2*Vp, C) row layout (slice
+    [..., :F2, :] after reshaping to (B, T2, Vp, C)).
+    """
+    return _fwd(M, w1, g1, b1, w2, T2, F2, act_name)[0]
+
+
+def _specs(B, R16, C, out_rows):
+    m = pl.BlockSpec((1, 4, R16, 16), lambda i: (i, 0, 0, 0))
+    w1 = pl.BlockSpec((16, C), lambda i: (0, 0))
+    v = pl.BlockSpec((1, C), lambda i: (0, 0))
+    w2 = pl.BlockSpec((9, C, C), lambda i: (0, 0, 0))
+    out = pl.BlockSpec((1, out_rows, C), lambda i: (i, 0, 0))
+    return m, w1, v, w2, out
+
+
+class _Lead:
+    """View of a (1, ...)-blocked ref with the leading axis squeezed."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getattr__(self, k):
+        return getattr(self._ref, k)
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return self._ref[(0,) + idx]
+
+    def __setitem__(self, idx, val):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        self._ref[(0,) + idx] = val
+
+    @property
+    def dtype(self):
+        return self._ref.dtype
+
+    @property
+    def shape(self):
+        return self._ref.shape[1:]
+
+
+def _fwd(M, w1, g1, b1, w2, T2, F2, act_name):
+    B, _, R, _ = M.shape
+    C = w1.shape[1]
+    Vp = F2 + 1
+    chunk = max(8, min(T2, 640 // Vp))
+    kern = functools.partial(
+        _fwd_kernel, T2=T2, F2=F2, Vp=Vp, C=C, chunk=chunk,
+        act_name=act_name)
+    m_s, w1_s, v_s, w2_s, out_s = _specs(B, R, C, T2 * Vp)
+    cd = M.dtype
+    out = pl.pallas_call(
+        functools.partial(_fwd_wrap, kern=kern),
+        grid=(B,),
+        in_specs=[m_s, w1_s, v_s, v_s, w2_s],
+        out_specs=out_s,
+        out_shape=jax.ShapeDtypeStruct((B, T2 * Vp, C), cd),
+        interpret=_interpret(),
+    )(M, w1.astype(jnp.float32), g1.reshape(1, C).astype(jnp.float32),
+      b1.reshape(1, C).astype(jnp.float32), w2.astype(jnp.float32))
+    return out, (M, w1, g1, b1, w2)
+
+
+def _fwd_wrap(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, o_ref, *, kern):
+    kern(_Lead(m_ref), w1_ref, g1_ref, b1_ref, w2_ref, _Lead(o_ref))
+
+
+def _bwd_wrap(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, du_ref,
+              dw2_ref, a_ref, sdy_ref, sdyz_ref, *, kern):
+    kern(_Lead(m_ref), w1_ref, g1_ref, b1_ref, w2_ref, _Lead(du_ref),
+         dw2_ref, a_ref, sdy_ref, sdyz_ref)
+
+
+def _bwd(T2, F2, act_name, res, g):
+    M, w1, g1, b1, w2 = res
+    B, _, R, _ = M.shape
+    C = w1.shape[1]
+    Vp = F2 + 1
+    chunk = max(8, min(T2, 640 // Vp))
+    cd = M.dtype
+    # pad du with Vp+1 leading/trailing zero rows so every tap's
+    # constant-offset slice is in range (see _bwd_kernel)
+    du = jnp.pad(g.astype(cd), ((0, 0), (Vp + 1, Vp + 1), (0, 0)))
+    kern = functools.partial(
+        _bwd_kernel, T2=T2, F2=F2, Vp=Vp, C=C, chunk=chunk,
+        act_name=act_name)
+    m_s, w1_s, v_s, w2_s, _ = _specs(B, R, C, T2 * Vp)
+    du_s = pl.BlockSpec((1, T2 * Vp + 2 * (Vp + 1), C),
+                        lambda i: (i, 0, 0))
+    a_s = pl.BlockSpec((16, C), lambda i: (0, 0))
+    dw2, A, sdy, sdyz = pl.pallas_call(
+        functools.partial(_bwd_wrap, kern=kern),
+        grid=(B,),
+        in_specs=[m_s, w1_s, v_s, v_s, w2_s, du_s],
+        out_specs=[w2_s, a_s, v_s, v_s],
+        out_shape=[jax.ShapeDtypeStruct((9, C, C), jnp.float32),
+                   jax.ShapeDtypeStruct((16, C), jnp.float32),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32)],
+        interpret=_interpret(),
+    )(M, w1.astype(jnp.float32), g1.reshape(1, C).astype(jnp.float32),
+      b1.reshape(1, C).astype(jnp.float32), w2.astype(jnp.float32), du)
+    g1f = g1.reshape(1, C).astype(jnp.float32)
+    dw1 = A * g1f                                        # (16, C)
+    # d g1 = sum dy * z ; d b1 = sum dy   (z = pre-affine conv1)
+    dg1 = sdyz.reshape(g1.shape).astype(g1.dtype)
+    db1 = sdy.reshape(b1.shape).astype(b1.dtype)
+    return (jnp.zeros_like(M), dw1.astype(w1.dtype), dg1, db1,
+            dw2.astype(w2.dtype))
+
+
+fused_prenet_core.defvjp(_fwd, _bwd)
