@@ -65,13 +65,19 @@ def _interpret() -> bool:
 
 
 def fused_prenet_enabled() -> bool:
-    """OPT-IN (SPEECHAIN_FORCE_FUSED_PRENET=1) until the kernel clears the
-    toolchain: the unrolled chunk loop currently OOMs Mosaic's scoped-vmem
-    STACK allocation at bench dims (per-iteration temporaries are not
-    reused across the unroll — 18-23 MB vs the 16 MB limit) and compile
-    time grows pathologically with the body. Numerics are proven
-    (tests/test_pallas_prenet.py: fwd/grads/BN stats vs the unfused path);
-    the fori_loop restructure is the tracked fix."""
+    """OPT-IN (SPEECHAIN_FORCE_FUSED_PRENET=1): blocked by the TPU
+    toolchain, not by design. Numerics are proven against the unfused
+    flax path (tests/test_pallas_prenet.py: forward, every parameter
+    gradient, BatchNorm batch/running stats), but on the real chip the
+    forward kernel cannot be compiled: the fully unrolled chunk loop OOMs
+    Mosaic's scoped-vmem STACK (18-23 MB vs the 16 MB limit — per-
+    iteration temporaries are not reused across the unroll) with
+    pathological compile times, and the rolled fori_loop variant (dynamic
+    pl.ds ref slicing + strided rotates + matmuls per iteration) crashes
+    `tpu_compile_helper` outright — the same failure class that forced
+    the conv-module ddwk out of its kernel (ops/pallas_convmod.py). The
+    projected win is ~8-10 ms of a ~105 ms step (docs/BENCHMARKS.md
+    "fused-prenet deferral")."""
     import os
     if os.environ.get("SPEECHAIN_DISABLE_PALLAS"):
         return False
@@ -148,104 +154,108 @@ def _conv1_chunk(m_ref, w1c, g1, b1, act, p, lo, rows):
 
 
 def _fwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, o_ref, *,
-                T2, F2, Vp, C, chunk, act_name):
+                T2p, F2, Vp, C, chunk, act_name):
+    """One fori_loop iteration per (uniform) chunk: keeping the chunk
+    loop ROLLED is load-bearing — the unrolled version both OOMs Mosaic's
+    scoped-vmem stack (per-iteration temporaries are not reused across
+    the unroll) and blows up compile time. T2p is pre-padded to a chunk
+    multiple by the wrapper; pad rows produce garbage the wrapper slices
+    off."""
     act = get_activation(act_name)
     cd = o_ref.dtype
     w1c = w1_ref[...].astype(m_ref.dtype)
     g1 = g1_ref[...]
     b1 = b1_ref[...]
-    n_chunks = -(-T2 // chunk)
-    for ci in range(n_chunks):
-        t0 = ci * chunk
-        tc = min(chunk, T2 - t0)
+    rows = (chunk + 1) * Vp
+
+    def body(ci, _):
+        t0v = ci * (chunk * Vp)
         xs = [
-            _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0 * Vp,
-                         (tc + 1) * Vp)[0]
+            _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0v, rows)[0]
             for p in range(4)
         ]
         acc = None
         for t, (dt, df) in enumerate(_TAPS):
             p = (dt % 2) * 2 + (df % 2)
             off = (dt // 2) * Vp + (df // 2)
-            xsl = pltpu.roll(xs[p], (-off) % ((tc + 1) * Vp),
-                             0)[:tc * Vp].astype(cd)
+            xsl = pltpu.roll(xs[p], (-off) % rows,
+                             0)[:chunk * Vp].astype(cd)
             term = jax.lax.dot_general(
                 xsl, w2_ref[t].astype(cd), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = term if acc is None else acc + term
-        o_ref[pl.ds(t0 * Vp, tc * Vp), :] = acc.astype(cd)
+        o_ref[pl.ds(t0v, chunk * Vp), :] = acc.astype(cd)
+        return 0
+
+    jax.lax.fori_loop(0, T2p // chunk, body, 0)
 
 
 def _bwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, du_ref,
                 dw2_ref, a_ref, sdy_ref, sdyz_ref, *,
-                T2, F2, Vp, C, chunk, act_name):
+                T2p, F2, Vp, C, chunk, act_name):
+    """Rolled chunk loop like the forward; reduction accumulators ride
+    the fori_loop carry. The halo row-block (u = t0+chunk) of every chunk
+    is masked out of the reductions — with T2p padding, every REAL conv1
+    row (including u = T2, consumed only as halo by the last real chunk)
+    appears as a non-halo row of exactly one chunk, and pad-row dy is
+    identically zero because the padded du is zero there."""
     i = pl.program_id(0)
     act = get_activation(act_name)
     cd = du_ref.dtype
     w1c = w1_ref[...].astype(m_ref.dtype)
     g1 = g1_ref[...]
     b1 = b1_ref[...]
-    R = du_ref.shape[0]                                  # T2 * Vp
+    rows = (chunk + 1) * Vp
 
-    dw2_acc = [None] * 9
-    A_acc = None
-    sdy_acc = None
-    sdyz_acc = None
-    n_chunks = -(-T2 // chunk)
-    for ci in range(n_chunks):
-        t0 = ci * chunk
-        tc = min(chunk, T2 - t0)
-        rows = (tc + 1) * Vp
+    def body(ci, carry):
+        dw2_c, A_c, sdy_c, sdyz_c = (list(carry[:9]), carry[9],
+                                     carry[10], carry[11])
+        t0v = ci * (chunk * Vp)
+        dw2_new = []
         for p in range(4):
-            h, z = _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0 * Vp,
-                                rows)
+            h, z = _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0v, rows)
             # dh for this phase chunk: sum over the taps that read it,
-            # each a constant-offset slice of the (padded) du
+            # each a constant-offset slice of the (Vp+1)-zero-padded du
             dh = None
             for t, (dt, df) in enumerate(_TAPS):
                 if (dt % 2) * 2 + (df % 2) != p:
                     continue
                 off = (dt // 2) * Vp + (df // 2)
-                # du row r_out contributes to phase row r_out + off:
-                # local phase row r gets du[t0*Vp + r - off]
-                lo = t0 * Vp - off
-                # clamp-by-padding: du_ref was padded with Vp+1 leading
-                # and Vp+1 trailing zero rows by the wrapper
-                sl = du_ref[pl.ds(lo + Vp + 1, rows), :]
+                sl = du_ref[pl.ds(t0v - off + Vp + 1, rows), :]
                 term = jax.lax.dot_general(
                     sl, w2_ref[t].astype(cd), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 dh = term if dh is None else dh + term
                 # conv2 weight grad for this tap: h rows shifted by off
-                # against du rows — reuse the forward's slicing identity
-                hs = pltpu.roll(h, (-off) % rows, 0)[:tc * Vp].astype(cd)
-                dus = du_ref[pl.ds(t0 * Vp + Vp + 1, tc * Vp), :]
-                dw2_t = jax.lax.dot_general(
+                # against du rows — the forward's slicing identity
+                hs = pltpu.roll(h, (-off) % rows,
+                                0)[:chunk * Vp].astype(cd)
+                dus = du_ref[pl.ds(t0v + Vp + 1, chunk * Vp), :]
+                dw2_new.append((t, jax.lax.dot_general(
                     hs, dus, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dw2_acc[t] = (dw2_t if dw2_acc[t] is None
-                              else dw2_acc[t] + dw2_t)
-            # activation backward at this chunk
+                    preferred_element_type=jnp.float32)))
             y = z * g1 + b1
             _, act_vjp = jax.vjp(act, y)
             dy = act_vjp(dh)[0]                          # (rows, C) f32
-            # mask the halo row-block (u = t0+tc) so chunk overlaps do
-            # not double-count the reductions — EXCEPT in the last chunk,
-            # whose halo rows (u = T2, conv1 t' = 2*T2+pt) are real conv1
-            # positions consumed only as halo: their dy counts exactly
-            # once, here
-            if ci < n_chunks - 1:
-                ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-                dy = jnp.where(ridx < tc * Vp, dy, 0.0)
-            mc = m_ref[p, pl.ds(t0 * Vp, rows), :]
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+            dy = jnp.where(ridx < chunk * Vp, dy, 0.0)
+            mc = m_ref[p, pl.ds(t0v, rows), :]
             A_p = jax.lax.dot_general(mc.astype(cd), dy.astype(cd),
                                       (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-            A_acc = A_p if A_acc is None else A_acc + A_p
-            s1 = jnp.sum(dy, axis=0, keepdims=True)
-            s2 = jnp.sum(dy * z, axis=0, keepdims=True)
-            sdy_acc = s1 if sdy_acc is None else sdy_acc + s1
-            sdyz_acc = s2 if sdyz_acc is None else sdyz_acc + s2
+            A_c = A_c + A_p
+            sdy_c = sdy_c + jnp.sum(dy, axis=0, keepdims=True)
+            sdyz_c = sdyz_c + jnp.sum(dy * z, axis=0, keepdims=True)
+        for t, d in dw2_new:
+            dw2_c[t] = dw2_c[t] + d
+        return tuple(dw2_c) + (A_c, sdy_c, sdyz_c)
+
+    init = tuple(jnp.zeros((C, C), jnp.float32) for _ in range(9)) + (
+        jnp.zeros((16, C), jnp.float32),
+        jnp.zeros((1, C), jnp.float32),
+        jnp.zeros((1, C), jnp.float32))
+    out = jax.lax.fori_loop(0, T2p // chunk, body, init)
+    dw2_all, A_acc, sdy_acc, sdyz_acc = out[:9], out[9], out[10], out[11]
 
     # per-tap ref writes — a 9-way stack/concatenate is exactly the
     # pattern class that crashed tpu_compile_helper in the conv-module
@@ -253,8 +263,7 @@ def _bwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, du_ref,
     @pl.when(i == 0)
     def _():
         for t in range(9):
-            dw2_ref[t] = (jnp.zeros((C, C), jnp.float32)
-                          if dw2_acc[t] is None else dw2_acc[t])
+            dw2_ref[t] = dw2_all[t]
         a_ref[...] = A_acc
         sdy_ref[...] = sdy_acc
         sdyz_ref[...] = sdyz_acc
@@ -262,8 +271,7 @@ def _bwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, du_ref,
     @pl.when(i > 0)
     def _():
         for t in range(9):
-            if dw2_acc[t] is not None:
-                dw2_ref[t] = dw2_ref[t] + dw2_acc[t]
+            dw2_ref[t] = dw2_ref[t] + dw2_all[t]
         a_ref[...] = a_ref[...] + A_acc
         sdy_ref[...] = sdy_ref[...] + sdy_acc
         sdyz_ref[...] = sdyz_ref[...] + sdyz_acc
@@ -323,26 +331,41 @@ class _Lead:
         return self._ref.shape[1:]
 
 
-def _fwd(M, w1, g1, b1, w2, T2, F2, act_name):
-    B, _, R, _ = M.shape
-    C = w1.shape[1]
+def _pad_geom(T2, F2):
+    """Uniform-chunk padding: T2p a chunk multiple COVERING T2+1 rows, so
+    the real conv1 row u = T2 (consumed only as conv2 halo) lands as a
+    NON-halo row of some chunk and its dy is reduced exactly once even
+    when T2 itself is a chunk multiple; M needs (T2p+1)*Vp rows."""
     Vp = F2 + 1
     chunk = max(8, min(T2, 640 // Vp))
+    T2p = -(-(T2 + 1) // chunk) * chunk
+    return Vp, chunk, T2p
+
+
+def _fwd(M, w1, g1, b1, w2, T2, F2, act_name):
+    B = M.shape[0]
+    C = w1.shape[1]
+    Vp, chunk, T2p = _pad_geom(T2, F2)
+    Rp = (T2p + 1) * Vp
+    if M.shape[2] < Rp:
+        M_k = jnp.pad(M, ((0, 0), (0, 0), (0, Rp - M.shape[2]), (0, 0)))
+    else:
+        M_k = M
     kern = functools.partial(
-        _fwd_kernel, T2=T2, F2=F2, Vp=Vp, C=C, chunk=chunk,
+        _fwd_kernel, T2p=T2p, F2=F2, Vp=Vp, C=C, chunk=chunk,
         act_name=act_name)
-    m_s, w1_s, v_s, w2_s, out_s = _specs(B, R, C, T2 * Vp)
+    m_s, w1_s, v_s, w2_s, out_s = _specs(B, Rp, C, T2p * Vp)
     cd = M.dtype
     out = pl.pallas_call(
         functools.partial(_fwd_wrap, kern=kern),
         grid=(B,),
         in_specs=[m_s, w1_s, v_s, v_s, w2_s],
         out_specs=out_s,
-        out_shape=jax.ShapeDtypeStruct((B, T2 * Vp, C), cd),
+        out_shape=jax.ShapeDtypeStruct((B, T2p * Vp, C), cd),
         interpret=_interpret(),
-    )(M, w1.astype(jnp.float32), g1.reshape(1, C).astype(jnp.float32),
+    )(M_k, w1.astype(jnp.float32), g1.reshape(1, C).astype(jnp.float32),
       b1.reshape(1, C).astype(jnp.float32), w2.astype(jnp.float32))
-    return out, (M, w1, g1, b1, w2)
+    return out[:, :T2 * Vp], (M, w1, g1, b1, w2)
 
 
 def _fwd_wrap(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, o_ref, *, kern):
@@ -357,19 +380,24 @@ def _bwd_wrap(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, du_ref,
 
 def _bwd(T2, F2, act_name, res, g):
     M, w1, g1, b1, w2 = res
-    B, _, R, _ = M.shape
+    B = M.shape[0]
     C = w1.shape[1]
-    Vp = F2 + 1
-    chunk = max(8, min(T2, 640 // Vp))
+    Vp, chunk, T2p = _pad_geom(T2, F2)
+    Rp = (T2p + 1) * Vp
+    if M.shape[2] < Rp:
+        M_k = jnp.pad(M, ((0, 0), (0, 0), (0, Rp - M.shape[2]), (0, 0)))
+    else:
+        M_k = M
     cd = M.dtype
-    # pad du with Vp+1 leading/trailing zero rows so every tap's
-    # constant-offset slice is in range (see _bwd_kernel)
-    du = jnp.pad(g.astype(cd), ((0, 0), (Vp + 1, Vp + 1), (0, 0)))
+    # pad du: Vp+1 leading zero rows (negative tap offsets), zeros out to
+    # the chunk-padded T2p plus Vp+1 trailing (positive offsets + halo)
+    du = jnp.pad(g.astype(cd),
+                 ((0, 0), (Vp + 1, (T2p - T2) * Vp + Vp + 1), (0, 0)))
     kern = functools.partial(
-        _bwd_kernel, T2=T2, F2=F2, Vp=Vp, C=C, chunk=chunk,
+        _bwd_kernel, T2p=T2p, F2=F2, Vp=Vp, C=C, chunk=chunk,
         act_name=act_name)
-    m_s, w1_s, v_s, w2_s, _ = _specs(B, R, C, T2 * Vp)
-    du_s = pl.BlockSpec((1, T2 * Vp + 2 * (Vp + 1), C),
+    m_s, w1_s, v_s, w2_s, _ = _specs(B, Rp, C, T2p * Vp)
+    du_s = pl.BlockSpec((1, T2p * Vp + 2 * (Vp + 1), C),
                         lambda i: (i, 0, 0))
     a_s = pl.BlockSpec((16, C), lambda i: (0, 0))
     dw2, A, sdy, sdyz = pl.pallas_call(
@@ -382,7 +410,7 @@ def _bwd(T2, F2, act_name, res, g):
                    jax.ShapeDtypeStruct((1, C), jnp.float32),
                    jax.ShapeDtypeStruct((1, C), jnp.float32)],
         interpret=_interpret(),
-    )(M, w1.astype(jnp.float32), g1.reshape(1, C).astype(jnp.float32),
+    )(M_k, w1.astype(jnp.float32), g1.reshape(1, C).astype(jnp.float32),
       b1.reshape(1, C).astype(jnp.float32), w2.astype(jnp.float32), du)
     g1f = g1.reshape(1, C).astype(jnp.float32)
     dw1 = A * g1f                                        # (16, C)
