@@ -73,9 +73,9 @@ def run(tag):
     return v
 
 
+os.environ["SPEECHAIN_FORCE_FUSED_PRENET"] = "1"
 on = run("fused")
-os.environ["SPEECHAIN_DISABLE_FUSED_PRENET"] = "1"
+del os.environ["SPEECHAIN_FORCE_FUSED_PRENET"]
 off = run("unfused")
-del os.environ["SPEECHAIN_DISABLE_FUSED_PRENET"]
 if on is not None and off is not None:
     log(f"loss rel diff: {abs(on-off)/max(abs(off),1e-9):.2e}")

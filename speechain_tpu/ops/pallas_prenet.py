@@ -144,8 +144,8 @@ def _conv1_chunk(m_ref, w1c, g1, b1, act, p, lo, rows):
     """act(BN1-affine(conv1)) for `rows` flat rows of phase p starting at
     lo — an MXU (rows, 16) x (16, C) matmul plus two row-broadcast VPU
     passes, recomputed on demand (never materialized to HBM). Stays f32:
-    Mosaic's sublane rotate (used for the constant-row-offset tap slices)
-    only supports 32-bit data; tap slices cast to the compute dtype after
+    Mosaic's sublane shifts (behind the constant-row-offset tap slices)
+    only support 32-bit data; tap slices cast to the compute dtype after
     slicing."""
     mc = m_ref[p, pl.ds(lo, rows), :]
     z = jax.lax.dot_general(mc, w1c, (((1,), (0,)), ((), ())),
@@ -153,114 +153,116 @@ def _conv1_chunk(m_ref, w1c, g1, b1, act, p, lo, rows):
     return act(z * g1 + b1), z
 
 
+def _tap_slice(x, off, n):
+    """rows [off, off+n) of a value — a STATIC slice (off is a Python
+    int); Mosaic lowers the unaligned sublane start to a shift."""
+    return jax.lax.slice_in_dim(x, off, off + n, axis=0)
+
+
 def _fwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, o_ref, *,
                 T2p, F2, Vp, C, chunk, act_name):
-    """One fori_loop iteration per (uniform) chunk: keeping the chunk
-    loop ROLLED is load-bearing — the unrolled version both OOMs Mosaic's
-    scoped-vmem stack (per-iteration temporaries are not reused across
-    the unroll) and blows up compile time. T2p is pre-padded to a chunk
-    multiple by the wrapper; pad rows produce garbage the wrapper slices
-    off."""
+    """One GRID STEP per (uniform) chunk: grid=(B, T2p//chunk). Walking
+    the chunks on the grid instead of an in-kernel loop is load-bearing —
+    the unrolled loop OOMed Mosaic's scoped-vmem stack (per-iteration
+    temporaries are not reused across an unroll) and the rolled fori_loop
+    crashed `tpu_compile_helper`; grid steps reuse scoped vmem by
+    construction. M's block index ignores the chunk axis, so the patch
+    matrix stays VMEM-resident across a batch row's chunks. Phases are
+    processed sequentially (one conv1 phase live at a time) to cap live
+    temporaries. T2p is pre-padded to a chunk multiple by the wrapper;
+    pad rows produce garbage the wrapper slices off."""
     act = get_activation(act_name)
     cd = o_ref.dtype
     w1c = w1_ref[...].astype(m_ref.dtype)
     g1 = g1_ref[...]
     b1 = b1_ref[...]
-    rows = (chunk + 1) * Vp
+    # +8 halo rows (sublane-aligned): the off = Vp+1 tap's slice reaches
+    # one row past (chunk+1)*Vp; the extra rows are consumed only by
+    # pad-slot outputs (vb = F2) that the wrapper slices off
+    rows = (chunk + 1) * Vp + 8
+    t0v = pl.program_id(1) * (chunk * Vp)
 
-    def body(ci, _):
-        t0v = ci * (chunk * Vp)
-        xs = [
-            _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0v, rows)[0]
-            for p in range(4)
-        ]
-        acc = None
+    acc = jnp.zeros((chunk * Vp, C), jnp.float32)
+    for p in range(4):
+        x_p = _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0v, rows)[0]
         for t, (dt, df) in enumerate(_TAPS):
-            p = (dt % 2) * 2 + (df % 2)
+            if (dt % 2) * 2 + (df % 2) != p:
+                continue
             off = (dt // 2) * Vp + (df // 2)
-            xsl = pltpu.roll(xs[p], (-off) % rows,
-                             0)[:chunk * Vp].astype(cd)
-            term = jax.lax.dot_general(
+            xsl = _tap_slice(x_p, off, chunk * Vp).astype(cd)
+            acc = acc + jax.lax.dot_general(
                 xsl, w2_ref[t].astype(cd), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            acc = term if acc is None else acc + term
-        o_ref[pl.ds(t0v, chunk * Vp), :] = acc.astype(cd)
-        return 0
-
-    jax.lax.fori_loop(0, T2p // chunk, body, 0)
+    o_ref[...] = acc.astype(cd)
 
 
 def _bwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, du_ref,
                 dw2_ref, a_ref, sdy_ref, sdyz_ref, *,
                 T2p, F2, Vp, C, chunk, act_name):
-    """Rolled chunk loop like the forward; reduction accumulators ride
-    the fori_loop carry. The halo row-block (u = t0+chunk) of every chunk
-    is masked out of the reductions — with T2p padding, every REAL conv1
-    row (including u = T2, consumed only as halo by the last real chunk)
-    appears as a non-halo row of exactly one chunk, and pad-row dy is
-    identically zero because the padded du is zero there."""
-    i = pl.program_id(0)
+    """Chunk walk on the grid like the forward; the reduction outputs
+    (constant block index) stay VMEM-resident across the whole grid and
+    accumulate via read-modify-write. The halo row-block (u = t0+chunk)
+    of every chunk is masked out of the reductions — with T2p padding,
+    every REAL conv1 row (including u = T2, consumed only as halo by the
+    last real chunk) appears as a non-halo row of exactly one chunk, and
+    pad-row dy is identically zero because the padded du is zero there."""
     act = get_activation(act_name)
     cd = du_ref.dtype
     w1c = w1_ref[...].astype(m_ref.dtype)
     g1 = g1_ref[...]
     b1 = b1_ref[...]
-    rows = (chunk + 1) * Vp
+    rows = (chunk + 1) * Vp + 8    # +8 halo rows, as in the forward
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    t0v = pl.program_id(1) * (chunk * Vp)
 
-    def body(ci, carry):
-        dw2_c, A_c, sdy_c, sdyz_c = (list(carry[:9]), carry[9],
-                                     carry[10], carry[11])
-        t0v = ci * (chunk * Vp)
-        dw2_new = []
-        for p in range(4):
-            h, z = _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0v, rows)
-            # dh for this phase chunk: sum over the taps that read it,
-            # each a constant-offset slice of the (Vp+1)-zero-padded du
-            dh = None
-            for t, (dt, df) in enumerate(_TAPS):
-                if (dt % 2) * 2 + (df % 2) != p:
-                    continue
-                off = (dt // 2) * Vp + (df // 2)
-                sl = du_ref[pl.ds(t0v - off + Vp + 1, rows), :]
-                term = jax.lax.dot_general(
-                    sl, w2_ref[t].astype(cd), (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dh = term if dh is None else dh + term
-                # conv2 weight grad for this tap: h rows shifted by off
-                # against du rows — the forward's slicing identity
-                hs = pltpu.roll(h, (-off) % rows,
-                                0)[:chunk * Vp].astype(cd)
-                dus = du_ref[pl.ds(t0v + Vp + 1, chunk * Vp), :]
-                dw2_new.append((t, jax.lax.dot_general(
-                    hs, dus, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)))
-            y = z * g1 + b1
-            _, act_vjp = jax.vjp(act, y)
-            dy = act_vjp(dh)[0]                          # (rows, C) f32
-            ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-            dy = jnp.where(ridx < chunk * Vp, dy, 0.0)
-            mc = m_ref[p, pl.ds(t0v, rows), :]
-            A_p = jax.lax.dot_general(mc.astype(cd), dy.astype(cd),
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            A_c = A_c + A_p
-            sdy_c = sdy_c + jnp.sum(dy, axis=0, keepdims=True)
-            sdyz_c = sdyz_c + jnp.sum(dy * z, axis=0, keepdims=True)
-        for t, d in dw2_new:
-            dw2_c[t] = dw2_c[t] + d
-        return tuple(dw2_c) + (A_c, sdy_c, sdyz_c)
+    # one aligned dynamic slice of du per grid step; per-tap views are
+    # static slices of the value
+    duw = du_ref[pl.ds(t0v, chunk * Vp + 2 * (Vp + 1) + 8), :]
+    dus = _tap_slice(duw, Vp + 1, chunk * Vp)
 
-    init = tuple(jnp.zeros((C, C), jnp.float32) for _ in range(9)) + (
-        jnp.zeros((16, C), jnp.float32),
-        jnp.zeros((1, C), jnp.float32),
-        jnp.zeros((1, C), jnp.float32))
-    out = jax.lax.fori_loop(0, T2p // chunk, body, init)
-    dw2_all, A_acc, sdy_acc, sdyz_acc = out[:9], out[9], out[10], out[11]
+    dw2_all = [None] * 9
+    A_acc = None
+    sdy_acc = None
+    sdyz_acc = None
+    for p in range(4):
+        h, z = _conv1_chunk(m_ref, w1c, g1, b1, act, p, t0v, rows)
+        # dh for this phase chunk: sum over the taps that read it, each
+        # a constant-offset slice of the (Vp+1)-zero-padded du window
+        dh = None
+        for t, (dt, df) in enumerate(_TAPS):
+            if (dt % 2) * 2 + (df % 2) != p:
+                continue
+            off = (dt // 2) * Vp + (df // 2)
+            sl = _tap_slice(duw, Vp + 1 - off, rows)
+            term = jax.lax.dot_general(
+                sl, w2_ref[t].astype(cd), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh = term if dh is None else dh + term
+            # conv2 weight grad for this tap: h rows shifted by off
+            # against du rows — the forward's slicing identity
+            hs = _tap_slice(h, off, chunk * Vp).astype(cd)
+            dw2_all[t] = jax.lax.dot_general(
+                hs, dus, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y = z * g1 + b1
+        _, act_vjp = jax.vjp(act, y)
+        dy = act_vjp(dh)[0]                              # (rows, C) f32
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        dy = jnp.where(ridx < chunk * Vp, dy, 0.0)
+        mc = m_ref[p, pl.ds(t0v, rows), :]
+        A_p = jax.lax.dot_general(mc.astype(cd), dy.astype(cd),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        A_acc = A_p if A_acc is None else A_acc + A_p
+        sdy_p = jnp.sum(dy, axis=0, keepdims=True)
+        sdy_acc = sdy_p if sdy_acc is None else sdy_acc + sdy_p
+        sdyz_p = jnp.sum(dy * z, axis=0, keepdims=True)
+        sdyz_acc = sdyz_p if sdyz_acc is None else sdyz_acc + sdyz_p
 
     # per-tap ref writes — a 9-way stack/concatenate is exactly the
     # pattern class that crashed tpu_compile_helper in the conv-module
     # backward (ops/pallas_convmod.py docstring)
-    @pl.when(i == 0)
+    @pl.when(first)
     def _():
         for t in range(9):
             dw2_ref[t] = dw2_all[t]
@@ -268,7 +270,7 @@ def _bwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, du_ref,
         sdy_ref[...] = sdy_acc
         sdyz_ref[...] = sdyz_acc
 
-    @pl.when(i > 0)
+    @pl.when(jnp.logical_not(first))
     def _():
         for t in range(9):
             dw2_ref[t] = dw2_ref[t] + dw2_all[t]
@@ -294,12 +296,15 @@ def fused_prenet_core(M: Array, w1: Array, g1: Array, b1: Array,
     return _fwd(M, w1, g1, b1, w2, T2, F2, act_name)[0]
 
 
-def _specs(B, R16, C, out_rows):
-    m = pl.BlockSpec((1, 4, R16, 16), lambda i: (i, 0, 0, 0))
-    w1 = pl.BlockSpec((16, C), lambda i: (0, 0))
-    v = pl.BlockSpec((1, C), lambda i: (0, 0))
-    w2 = pl.BlockSpec((9, C, C), lambda i: (0, 0, 0))
-    out = pl.BlockSpec((1, out_rows, C), lambda i: (i, 0, 0))
+def _specs(B, R16, C, chunk_rows):
+    """Block specs over the (batch, chunk) grid: M and the parameter
+    blocks ignore the chunk axis (VMEM-resident across a batch row's
+    chunks); the forward output block IS the chunk."""
+    m = pl.BlockSpec((1, 4, R16, 16), lambda i, j: (i, 0, 0, 0))
+    w1 = pl.BlockSpec((16, C), lambda i, j: (0, 0))
+    v = pl.BlockSpec((1, C), lambda i, j: (0, 0))
+    w2 = pl.BlockSpec((9, C, C), lambda i, j: (0, 0, 0))
+    out = pl.BlockSpec((1, chunk_rows, C), lambda i, j: (i, j, 0))
     return m, w1, v, w2, out
 
 
@@ -346,7 +351,7 @@ def _fwd(M, w1, g1, b1, w2, T2, F2, act_name):
     B = M.shape[0]
     C = w1.shape[1]
     Vp, chunk, T2p = _pad_geom(T2, F2)
-    Rp = (T2p + 1) * Vp
+    Rp = (T2p + 1) * Vp + 8
     if M.shape[2] < Rp:
         M_k = jnp.pad(M, ((0, 0), (0, 0), (0, Rp - M.shape[2]), (0, 0)))
     else:
@@ -354,11 +359,11 @@ def _fwd(M, w1, g1, b1, w2, T2, F2, act_name):
     kern = functools.partial(
         _fwd_kernel, T2p=T2p, F2=F2, Vp=Vp, C=C, chunk=chunk,
         act_name=act_name)
-    m_s, w1_s, v_s, w2_s, out_s = _specs(B, Rp, C, T2p * Vp)
+    m_s, w1_s, v_s, w2_s, out_s = _specs(B, Rp, C, chunk * Vp)
     cd = M.dtype
     out = pl.pallas_call(
         functools.partial(_fwd_wrap, kern=kern),
-        grid=(B,),
+        grid=(B, T2p // chunk),
         in_specs=[m_s, w1_s, v_s, v_s, w2_s],
         out_specs=out_s,
         out_shape=jax.ShapeDtypeStruct((B, T2p * Vp, C), cd),
@@ -383,7 +388,7 @@ def _bwd(T2, F2, act_name, res, g):
     B = M.shape[0]
     C = w1.shape[1]
     Vp, chunk, T2p = _pad_geom(T2, F2)
-    Rp = (T2p + 1) * Vp
+    Rp = (T2p + 1) * Vp + 8
     if M.shape[2] < Rp:
         M_k = jnp.pad(M, ((0, 0), (0, 0), (0, Rp - M.shape[2]), (0, 0)))
     else:
@@ -392,17 +397,17 @@ def _bwd(T2, F2, act_name, res, g):
     # pad du: Vp+1 leading zero rows (negative tap offsets), zeros out to
     # the chunk-padded T2p plus Vp+1 trailing (positive offsets + halo)
     du = jnp.pad(g.astype(cd),
-                 ((0, 0), (Vp + 1, (T2p - T2) * Vp + Vp + 1), (0, 0)))
+                 ((0, 0), (Vp + 1, (T2p - T2) * Vp + Vp + 1 + 8), (0, 0)))
     kern = functools.partial(
         _bwd_kernel, T2p=T2p, F2=F2, Vp=Vp, C=C, chunk=chunk,
         act_name=act_name)
-    m_s, w1_s, v_s, w2_s, _ = _specs(B, Rp, C, T2p * Vp)
-    du_s = pl.BlockSpec((1, T2p * Vp + 2 * (Vp + 1), C),
-                        lambda i: (i, 0, 0))
-    a_s = pl.BlockSpec((16, C), lambda i: (0, 0))
+    m_s, w1_s, v_s, w2_s, _ = _specs(B, Rp, C, chunk * Vp)
+    du_s = pl.BlockSpec((1, T2p * Vp + 2 * (Vp + 1) + 8, C),
+                        lambda i, j: (i, 0, 0))
+    a_s = pl.BlockSpec((16, C), lambda i, j: (0, 0))
     dw2, A, sdy, sdyz = pl.pallas_call(
         functools.partial(_bwd_wrap, kern=kern),
-        grid=(B,),
+        grid=(B, T2p // chunk),
         in_specs=[m_s, w1_s, v_s, v_s, w2_s, du_s],
         out_specs=[w2_s, a_s, v_s, v_s],
         out_shape=[jax.ShapeDtypeStruct((9, C, C), jnp.float32),
