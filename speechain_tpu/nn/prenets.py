@@ -254,22 +254,27 @@ class _BNAffine(nn.Module):
         return g, bias - mean * g
 
 
-def _prenet_fused_ok(conv_dims, kernel, stride, pad, batchnorm, drops,
-                     act, T: int, F: int) -> bool:
-    from speechain_tpu.ops.pallas_prenet import fused_prenet_enabled, geom
-    if not fused_prenet_enabled():
-        return False
+def _prenet_fused_impl(conv_dims, kernel, stride, pad, batchnorm, drops,
+                       act, T: int, F: int):
+    """'xla' | 'pallas' | None: which fused-prenet core applies to this
+    configuration (ops/pallas_prenet.py gating + shape constraints)."""
+    from speechain_tpu.ops.pallas_prenet import geom, prenet_core_impl
+    impl = prenet_core_impl()
+    if impl is None:
+        return None
     if (len(conv_dims) != 2 or conv_dims[0] != conv_dims[1]
             or conv_dims[0] % 128 != 0):
-        return False
+        return None
     if kernel != (3, 3) or stride != (2, 2) or pad != (0, 0):
-        return False
+        return None
     if not batchnorm or any(d is not None for d in drops):
-        return False
+        return None
     if act is None:
-        return False
+        return None
     U1, F1, T2, F2, _, _ = geom(T, F)
-    return T2 >= 2 and F2 >= 1
+    if not (T2 >= 2 and F2 >= 1):
+        return None
+    return impl
 
 
 class Conv2dPrenet(nn.Module):
@@ -323,26 +328,38 @@ class Conv2dPrenet(nn.Module):
         drops = (_as_list(self.conv_dropout, len(conv_dims))
                  if self.conv_dropout is not None else [None] * len(conv_dims))
 
-        if _prenet_fused_ok(conv_dims, kernel, stride, pad,
-                            self.conv_batchnorm, drops,
-                            self.conv_activation,
-                            feat.shape[1], feat.shape[2]):
+        fused_impl = _prenet_fused_impl(conv_dims, kernel, stride, pad,
+                                        self.conv_batchnorm, drops,
+                                        self.conv_activation,
+                                        feat.shape[1], feat.shape[2])
+        if fused_impl is not None:
             # fused conv1+BN1+act+conv2 core (ops/pallas_prenet.py): the
-            # (B, T/2, F/2, C) conv1 activation never touches HBM and its
-            # BatchNorm batch moments come analytically from the patch
-            # statistics; BN2 + act + flatten + linear stay as below
-            from speechain_tpu.ops.pallas_prenet import (
-                build_patches, fused_prenet_core, geom, patch_stats)
+            # conv1 BatchNorm batch moments come analytically from the
+            # patch sufficient statistics, so BN1 folds into the conv1
+            # epilogue (xla core) or the kernel's in-pass affine (pallas
+            # core); BN2 + act + flatten + linear stay as below
+            from speechain_tpu.ops import pallas_prenet as pk
             C = conv_dims[0]
             B, T, F = feat.shape
-            U1, F1, T2, F2, Up, Vp = geom(T, F)
+            U1, F1, T2, F2, Up, Vp = pk.geom(T, F)
             w1 = _Conv2dParams(3, 3, 1, C, name="conv_0")()
             w2 = _Conv2dParams(3, 3, C, C, name="conv_1")()
             cd = self.dtype
-            M = build_patches(feat, cd)
-            w1f = jnp.pad(w1.reshape(9, C), ((0, 7), (0, 0)))
+            if fused_impl == "xla":
+                M = pk.build_patches_std(feat, cd)
+                w1f = w1.reshape(9, C)
+            else:
+                M = pk.build_patches(feat, cd)
+                w1f = jnp.pad(w1.reshape(9, C), ((0, 7), (0, 0)))
             if train:
-                S, G = patch_stats(M)
+                if fused_impl == "xla":
+                    S, G = pk.patch_stats_std(M)
+                else:
+                    # the pallas kernel's custom vjp returns dM = 0, so
+                    # the stats must not leak a PARTIAL input gradient
+                    # through S/G either — input grads are unsupported
+                    # on this core (exact on the xla core)
+                    S, G = pk.patch_stats(jax.lax.stop_gradient(M))
                 n1 = B * U1 * F1
                 mean1 = (S @ w1f) / n1
                 mean2 = jnp.einsum("jc,jk,kc->c", w1f,
@@ -352,10 +369,14 @@ class Conv2dPrenet(nn.Module):
             g1, b1 = _BNAffine(channels=C, axis_name=self.bn_axis_name,
                                name="batchnorm_0")(mean1, mean2,
                                                    train=train)
-            out20 = fused_prenet_core(M, w1f, g1, b1,
-                                      w2.reshape(9, C, C),
-                                      T2, F2, self.conv_activation)
-            x = out20.reshape(B, T2, Vp, C)[:, :, :F2, :]
+            if fused_impl == "xla":
+                x = pk.xla_prenet_core(M, w1f, g1, b1, w2,
+                                       self.conv_activation)
+            else:
+                out20 = pk.fused_prenet_core(M, w1f, g1, b1,
+                                             w2.reshape(9, C, C),
+                                             T2, F2, self.conv_activation)
+                x = out20.reshape(B, T2, Vp, C)[:, :, :F2, :]
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              axis_name=self.bn_axis_name,

@@ -1,18 +1,37 @@
-"""Fused ASR conv2d-prenet core (Pallas, fwd + custom vjp).
+"""Fused ASR conv2d-prenet core (analytic BatchNorm; XLA default +
+opt-in Pallas kernel).
 
 Why: the reference prenet (prenet/conv2d.py:15-280; conformer-large
 recipes use conv_dims=[d_model, d_model], kernel 3, stride 2, BatchNorm,
-LeakyReLU) produces a (B, T/2, F/2, C) conv1 activation — 2.6 GB bf16 at
-the bench config — that XLA must materialize in HBM (conv1+BN-stats
-fusion writes it, the conv2 forward re-reads it, the conv1 weight-grad
-and conv2 data-grad re-read/re-write it): ~13 GB of HBM traffic per step
-for ~1.2 GFLOP of conv1 compute. This kernel keeps conv1 values VMEM-
-resident: conv2 consumes them as they are recomputed, forward and
-backward (round-4 step trace: the prenet stack was ~18.7 ms of a 104 ms
-step, ~9 ms of it conv2's inherent 3x571 GFLOP MXU work which this
-kernel keeps, the rest traffic which it removes).
+LeakyReLU) produces a (B, T/2, F/2, C) conv1 activation — ~1 GB bf16 at
+the bench config — over which the unfused path runs several full HBM
+passes that are not inherent to the math: a BatchNorm batch-stats
+reduction, a separate normalize+activate pass, and the BN backward's
+mean/var reduction chains (round-4 step trace: the prenet stack was
+~18.7 ms of a 104 ms step, ~9 ms of it conv2's inherent 3x571 GFLOP MXU
+work, the rest traffic).
 
-Three ideas make it a good TPU program:
+Two cores share the same analytic-BatchNorm formulation:
+
+- :func:`xla_prenet_core` (DEFAULT) expresses the win in plain XLA ops:
+  the BN1 moments come analytically from the patch sufficient
+  statistics (idea 1 below), so the BN1 affine folds into the conv1
+  weights — act((M @ w1) * g1 + b1) == act(M @ (w1 * g1) + b1) — and
+  conv1 + BatchNorm + activation become ONE matmul whose epilogue XLA
+  fuses: the conv1 activation is written to HBM exactly once,
+  post-activation, with no stats pass over it and no separate
+  normalize pass; conv2 stays a stride-2 ``lax.conv`` (the TPU conv
+  emitter runs it at near-peak MXU at these channel counts). The
+  backward is plain autodiff — input (dM) gradients are exact.
+
+- :func:`fused_prenet_core` (opt-in Pallas kernel) additionally keeps
+  the conv1 activation VMEM-resident so conv2 consumes it as it is
+  recomputed, forward and backward — but both kernel variants are
+  blocked by the real chip's toolchain (see
+  :func:`fused_prenet_enabled`); it remains for interpret-mode parity
+  tests and for when the toolchain unblocks.
+
+Three ideas make the formulation a good TPU program:
 
 1. ANALYTIC BatchNorm statistics. conv1 (in_channels=1, no bias under
    batchnorm) is linear in the 9 patch values, so over all positions
@@ -64,24 +83,41 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def fused_prenet_enabled() -> bool:
-    """OPT-IN (SPEECHAIN_FORCE_FUSED_PRENET=1): blocked by the TPU
-    toolchain, not by design. Numerics are proven against the unfused
-    flax path (tests/test_pallas_prenet.py: forward, every parameter
-    gradient, BatchNorm batch/running stats), but on the real chip the
-    forward kernel cannot be compiled: the fully unrolled chunk loop OOMs
-    Mosaic's scoped-vmem STACK (18-23 MB vs the 16 MB limit — per-
-    iteration temporaries are not reused across the unroll) with
-    pathological compile times, and the rolled fori_loop variant (dynamic
-    pl.ds ref slicing + strided rotates + matmuls per iteration) crashes
-    `tpu_compile_helper` outright — the same failure class that forced
-    the conv-module ddwk out of its kernel (ops/pallas_convmod.py). The
-    projected win is ~8-10 ms of a ~105 ms step (docs/BENCHMARKS.md
-    "fused-prenet deferral")."""
+def prenet_core_impl():
+    """Which fused-prenet core is active: ``"xla"`` (default),
+    ``"pallas"``, or ``None`` (unfused flax path).
+
+    - default: the XLA core (:func:`xla_prenet_core`) — analytic BN1
+      folded into the conv1 weights, plain autodiff backward.
+    - ``SPEECHAIN_FORCE_FUSED_PRENET=1`` (or ``pallas``): the Pallas
+      kernel (:func:`fused_prenet_core`). Blocked by the TPU toolchain,
+      not by design — numerics are proven against the unfused flax path
+      (tests/test_pallas_prenet.py), but on the real chip the forward
+      kernel cannot be compiled: the fully unrolled chunk loop OOMs
+      Mosaic's scoped-vmem STACK (18-23 MB vs the 16 MB limit) and the
+      rolled fori_loop variant crashes `tpu_compile_helper` outright —
+      the same failure class that forced the conv-module ddwk out of
+      its kernel (ops/pallas_convmod.py). Demoted back to ``"xla"``
+      under ``SPEECHAIN_DISABLE_PALLAS`` (which governs Mosaic kernels
+      only — the XLA core is not a Pallas kernel and stays on).
+    - ``SPEECHAIN_DISABLE_FUSED_PRENET=1``: unfused flax path (the
+      bench A/B lever).
+    """
     import os
-    if os.environ.get("SPEECHAIN_DISABLE_PALLAS"):
-        return False
-    return bool(os.environ.get("SPEECHAIN_FORCE_FUSED_PRENET"))
+    if os.environ.get("SPEECHAIN_DISABLE_FUSED_PRENET"):
+        return None
+    force = os.environ.get("SPEECHAIN_FORCE_FUSED_PRENET", "").lower()
+    if force in ("1", "true", "pallas"):
+        if os.environ.get("SPEECHAIN_DISABLE_PALLAS"):
+            return "xla"
+        return "pallas"
+    return "xla"
+
+
+def fused_prenet_enabled() -> bool:
+    """True when the PALLAS core is selected (back-compat shim; see
+    :func:`prenet_core_impl` for the full gating)."""
+    return prenet_core_impl() == "pallas"
 
 
 def geom(T: int, F: int):
@@ -135,6 +171,74 @@ def patch_stats(M: Array):
     G = jax.lax.dot_general(Mf, Mf, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     return S, G
+
+
+def build_patches_std(mel: Array, dtype) -> Array:
+    """(B, T, F) -> (B, U1, F1, 9) conv1 im2col in the STANDARD (image)
+    layout, M[b, u, v, 3*a+b] = mel[b, 2u+a, 2v+b] — the XLA core's input
+    (vs the phase-split 16-lane layout :func:`build_patches` the Pallas
+    kernel wants). All rows are valid conv1 positions, so the BN1 batch
+    moments divide by exactly B*U1*F1."""
+    B, T, F = mel.shape
+    U1, F1 = (T - 3) // 2 + 1, (F - 3) // 2 + 1
+    taps = []
+    for a in range(3):
+        for b in range(3):
+            taps.append(jax.lax.slice(
+                mel, (0, a, b),
+                (B, a + 2 * (U1 - 1) + 1, b + 2 * (F1 - 1) + 1),
+                (1, 2, 2)))                              # (B, U1, F1)
+    return jnp.stack(taps, axis=-1).astype(dtype)
+
+
+def patch_stats_std(M: Array):
+    """S (9,) and G (9, 9) fp32 over all samples/positions of the
+    standard-layout patch matrix — the sufficient statistics for conv1's
+    BatchNorm batch moments (same math as :func:`patch_stats`, unpadded
+    lanes)."""
+    K = M.shape[-1]
+    Mf = M.reshape(-1, K)
+    S = jnp.sum(Mf.astype(jnp.float32), axis=0)
+    G = jax.lax.dot_general(Mf, Mf, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return S, G
+
+
+def xla_prenet_core(M: Array, w1: Array, g1: Array, b1: Array,
+                    w2: Array, act_name: str) -> Array:
+    """conv2(act(g1 * conv1(M) + b1)) in plain XLA ops (the DEFAULT core).
+
+    The BN1 affine folds into the conv1 weights —
+    act((M @ w1) * g1 + b1) == act(M @ (w1 * g1) + b1) — so conv1 +
+    BatchNorm-1 + activation is ONE (B*U1*F1, 9) x (9, C) matmul whose
+    bias+activation epilogue XLA fuses: the conv1 activation hits HBM
+    once, post-activation, with no stats pass (the moments come
+    analytically from :func:`patch_stats_std` OUTSIDE this function, as
+    differentiable functions of w1, so plain autodiff owns the full
+    train-mode BatchNorm backward). conv2 stays a stride-2 VALID
+    ``lax.conv`` — the TPU conv emitter runs 3x3xCxC at near-peak MXU.
+
+    M: (B, U1, F1, 9) patches (:func:`build_patches_std`); w1: (9, C)
+    fp32; g1/b1: (C,) fp32 BN1 affine; w2: (3, 3, C, C) HWIO fp32.
+    Returns the PRE-BN2 conv2 output (B, T2, F2, C) in M's dtype.
+    Reference semantics: prenet/conv2d.py:15-280.
+    """
+    act = get_activation(act_name)
+    B, U1, F1, K = M.shape
+    C = w1.shape[1]
+    cd = M.dtype
+    w1g = (w1.astype(jnp.float32) * g1.reshape(1, C)).astype(cd)
+    # flat 2-D dot: rank-3+ dots take XLA's slow batch-in-sublanes conv
+    # emitter (docs/BENCHMARKS.md round-4 trace, `_dense_flat` finding)
+    z = jax.lax.dot_general(M.reshape(B * U1 * F1, K), w1g,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = act(z + b1.reshape(1, C)).astype(cd).reshape(B, U1, F1, C)
+    out = jax.lax.conv_general_dilated(
+        h, w2.astype(cd), window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return out.astype(cd)
 
 
 _TAPS = [(dt, df) for dt in range(3) for df in range(3)]
@@ -292,6 +396,13 @@ def fused_prenet_core(M: Array, w1: Array, g1: Array, b1: Array,
     w2: (9, C, C) fp32 (conv2 kernel, taps-major). Returns the PRE-BN2
     conv2 output in the padded (B, T2*Vp, C) row layout (slice
     [..., :F2, :] after reshaping to (B, T2, Vp, C)).
+
+    INPUT GRADIENTS ARE NOT SUPPORTED on this core: the custom vjp
+    returns dM = 0 (the ASR frontend upstream has no parameters), so
+    callers must also stop_gradient the M fed to :func:`patch_stats` —
+    otherwise the analytic-stats path would leak a PARTIAL input
+    gradient. Use :func:`xla_prenet_core` when exact input gradients
+    (e.g. saliency) are needed.
     """
     return _fwd(M, w1, g1, b1, w2, T2, F2, act_name)[0]
 
