@@ -218,30 +218,34 @@ def main():
                       flush=True)
                 return
 
-    # A/B guard for the newest kernel: the fused conv-module kernel could
-    # LOWER fine but run slow (cf. the pallas-in-scan pathology,
+    # A/B guards for the newest fused paths: a fused path could LOWER
+    # fine but run slow (cf. the pallas-in-scan pathology,
     # docs/BENCHMARKS.md) — that would silently cap the headline number.
-    # Unless a ladder rung already disabled it, also time the conv-disabled
-    # step once and keep the faster of the two. Disable with BENCH_AB=0.
+    # Unless a ladder rung already disabled it, also time each
+    # family-disabled step once and keep the faster. Disable with
+    # BENCH_AB=0.
     ab = os.environ.get("BENCH_AB", "1")
     if ("kernel_fallback" not in _METRICS and ab != "0"
             and (ab == "force" or jax.default_backend() != "cpu")):
-        _METRICS["ab_convmod_on_ms_per_step"] = round(dt / N * 1e3, 2)
-        try:
-            os.environ["SPEECHAIN_DISABLE_FUSED_CONVMOD"] = "1"
-            _progress('A/B: re-timing with the conv-module kernel disabled')
-            dt2, state2 = time_train()
-            _METRICS["ab_convmod_off_ms_per_step"] = round(dt2 / N * 1e3, 2)
-            if dt2 < dt:
-                dt, state = dt2, state2
-                _METRICS["kernel_fallback"] = (
-                    "SPEECHAIN_DISABLE_FUSED_CONVMOD (A/B: XLA conv faster)")
-            else:
-                del os.environ["SPEECHAIN_DISABLE_FUSED_CONVMOD"]
-        except Exception as e:                  # noqa: BLE001 — A/B is best-
-            _progress(f'A/B attempt failed (keeping kernel-on result): '
-                      f'{type(e).__name__}: {str(e)[:200]}')
-            os.environ.pop("SPEECHAIN_DISABLE_FUSED_CONVMOD", None)
+        for fam, flag in (("convmod", "SPEECHAIN_DISABLE_FUSED_CONVMOD"),
+                          ("prenet", "SPEECHAIN_DISABLE_FUSED_PRENET")):
+            _METRICS[f"ab_{fam}_on_ms_per_step"] = round(dt / N * 1e3, 2)
+            try:
+                os.environ[flag] = "1"
+                _progress(f'A/B: re-timing with the fused {fam} disabled')
+                dt2, state2 = time_train()
+                _METRICS[f"ab_{fam}_off_ms_per_step"] = round(
+                    dt2 / N * 1e3, 2)
+                if dt2 < dt:
+                    dt, state = dt2, state2
+                    _METRICS["kernel_fallback"] = (
+                        f"{flag} (A/B: unfused {fam} faster)")
+                else:
+                    del os.environ[flag]
+            except Exception as e:              # noqa: BLE001 — A/B is best-
+                _progress(f'A/B {fam} attempt failed (keeping fused-on '
+                          f'result): {type(e).__name__}: {str(e)[:200]}')
+                os.environ.pop(flag, None)
 
     n_chips = len(jax.devices())
     mel_frames = B * (T // 160 + 1)  # 10 ms hop
@@ -252,6 +256,42 @@ def main():
     _METRICS.update(
         value=value,
         vs_baseline=round(frames_per_sec / REF_FRAMES_PER_SEC, 3))
+
+    # ---- MFU (VERDICT r4 item 3): model FLOPs from utils/flops.py at the
+    # benched architecture, fwd+bwd ~= 3x fwd, vs the detected chip's bf16
+    # peak. The analytic counts are matmul MACs x 2 only (elementwise /
+    # norm / softmax work excluded), so mfu_pct is a slight UNDER-estimate.
+    try:
+        from speechain_tpu.utils import flops as fl
+        T_MEL = T // 160 + 1
+        T_ENC = (T_MEL + 3) // 4
+        step_fwd = B * (
+            fl.conv2d_subsample_prenet(T_MEL, 80, [D, D])
+            + fl.conformer_encoder(T_ENC, 12, D, 4 * D)
+            + fl.transformer_decoder(L, L, T_ENC, 6, D, 4 * D)
+            + fl.linear(L, D, V))
+        tflops_per_step = 3.0 * step_fwd / 1e12
+        peak = _chip_peak_tflops(jax.devices()[0])
+        model_tflops = tflops_per_step / (dt / N)
+        _METRICS.update({
+            "tflops_per_step": round(tflops_per_step, 3),
+            "model_tflops_per_sec": round(model_tflops, 1),
+        })
+        if peak is not None:
+            _METRICS.update({
+                "mfu_pct": round(100.0 * model_tflops / peak, 1),
+                "mfu_peak_tflops": peak,
+                "mfu_method": "analytic matmul FLOPs (utils/flops.py), "
+                              "fwd+bwd=3x fwd, vs chip bf16 peak",
+            })
+            _progress(f'MFU: {tflops_per_step:.2f} TFLOP/step, '
+                      f'{model_tflops:.0f} TFLOP/s '
+                      f'= {_METRICS["mfu_pct"]:.1f}% of {peak:.0f} peak')
+        else:
+            _progress(f'MFU: {tflops_per_step:.2f} TFLOP/step, '
+                      f'{model_tflops:.0f} TFLOP/s (unknown chip peak)')
+    except Exception as e:                      # noqa: BLE001 — reporting
+        _progress(f'MFU computation failed: {type(e).__name__}: {e}')
 
     # ---- inference throughput: jitted beam-16 decode, worst case --------
     # Force the full max-length search (the upper bound; early stopping only
@@ -272,6 +312,22 @@ def main():
 
     _progress('done')
     print(json.dumps(_METRICS))
+
+
+def _chip_peak_tflops(dev):
+    """bf16 peak TFLOP/s for the detected accelerator, or None if the
+    device kind is not recognized (published per-chip figures: v5e 197,
+    v4 275, v5p 459, v6e 918)."""
+    kind = getattr(dev, "device_kind", "") or ""
+    k = kind.lower()
+    for pat, peak in (("v5 lite", 197.0), ("v5lite", 197.0),
+                      ("v5litepod", 197.0), ("v5e", 197.0),
+                      ("v6 lite", 918.0), ("v6e", 918.0),
+                      ("trillium", 918.0), ("v5p", 459.0),
+                      ("v5", 459.0), ("v4", 275.0)):
+        if pat in k:
+            return peak
+    return None
 
 
 def _decode_bench(batch, net, state, n_chips, SECS):

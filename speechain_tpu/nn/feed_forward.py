@@ -17,7 +17,10 @@ import jax.numpy as jnp
 # torch.nn activation class name -> jax function (train_util.py swish included)
 ACTIVATIONS = {
     "ReLU": jax.nn.relu,
-    "GELU": jax.nn.gelu,
+    # exact erf GELU: torch.nn.GELU() defaults to approximate='none',
+    # while jax.nn.gelu defaults to the tanh approximation — caught by
+    # tests/test_torch_parity_conformer.py (up to ~1e-3 drift)
+    "GELU": lambda x: jax.nn.gelu(x, approximate=False),
     "SiLU": jax.nn.silu,
     "Swish": jax.nn.silu,
     "Tanh": jnp.tanh,

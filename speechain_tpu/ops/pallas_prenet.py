@@ -234,11 +234,12 @@ def xla_prenet_core(M: Array, w1: Array, g1: Array, b1: Array,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = act(z + b1.reshape(1, C)).astype(cd).reshape(B, U1, F1, C)
-    out = jax.lax.conv_general_dilated(
+    # conv in the compute dtype (matches nn.Conv(dtype=cd); the MXU
+    # accumulates bf16 inputs in f32 internally) — a preferred_element_
+    # type=f32 here breaks the conv's VJP on mixed bf16/f32 operands
+    return jax.lax.conv_general_dilated(
         h, w2.astype(cd), window_strides=(2, 2), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return out.astype(cd)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 _TAPS = [(dt, df) for dt in range(3) for df in range(3)]

@@ -63,21 +63,27 @@ def _randint(key, shape, low, high):
     return (low + (u * span).astype(jnp.int32)).astype(jnp.int32)
 
 
-def _time_warp(key, feat: Array, min_len: Array, window: int) -> Array:
-    """Piecewise-linear time warp within [0, min_len) (specaug.py:88-127)."""
+def warp_segments(feat: Array, center, target, min_len) -> Array:
+    """Stretch feat[:, :center] to ``target`` frames and
+    feat[:, center:min_len] to ``min_len - target`` frames, exactly
+    torch.nn.functional.interpolate(mode='bilinear', align_corners=True)
+    per segment (specaug.py:110-126): an output row t of a segment with
+    S source and O output rows samples source position
+    t * (S - 1) / (O - 1) (source position 0 when O == 1, torch's
+    align-corners degenerate case). Frames at t >= min_len pass through.
+    Exposed separately from the sampling so the law is golden-testable
+    against torch (tests/test_torch_parity_conformer.py)."""
     B, T, D = feat.shape
-    k1, k2 = jax.random.split(key)
-    center = _randint(k1, (), window + 1, min_len - window)
-    target = _randint(k2, (), center - window, center + window)
-
     t = jax.lax.broadcasted_iota(jnp.float32, (T, 1), 0)[:, 0]
-    centerf = center.astype(jnp.float32)
-    targetf = target.astype(jnp.float32)
-    minf = min_len.astype(jnp.float32)
-    # source position for each output frame
-    left = t * centerf / jnp.maximum(targetf, 1.0)
-    right = centerf + (t - targetf) * (minf - centerf) / jnp.maximum(
-        minf - targetf, 1.0)
+    centerf = jnp.asarray(center).astype(jnp.float32)
+    targetf = jnp.asarray(target).astype(jnp.float32)
+    minf = jnp.asarray(min_len).astype(jnp.float32)
+    left = t * (centerf - 1.0) / jnp.maximum(targetf - 1.0, 1.0)
+    left = jnp.where(targetf > 1.0, left, 0.0)
+    right_out = minf - targetf
+    right = centerf + (t - targetf) * (minf - centerf - 1.0) / jnp.maximum(
+        right_out - 1.0, 1.0)
+    right = jnp.where(right_out > 1.0, right, centerf)
     src = jnp.where(t < targetf, left, right)
     src = jnp.where(t >= minf, t, src)
     src = jnp.clip(src, 0.0, T - 1.0)
@@ -85,8 +91,15 @@ def _time_warp(key, feat: Array, min_len: Array, window: int) -> Array:
     lo = jnp.floor(src).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, T - 1)
     w = (src - lo.astype(jnp.float32))[None, :, None]
-    gathered = (1.0 - w) * feat[:, lo] + w * feat[:, hi]
+    return (1.0 - w) * feat[:, lo] + w * feat[:, hi]
 
+
+def _time_warp(key, feat: Array, min_len: Array, window: int) -> Array:
+    """Piecewise-linear time warp within [0, min_len) (specaug.py:88-127)."""
+    k1, k2 = jax.random.split(key)
+    center = _randint(k1, (), window + 1, min_len - window)
+    target = _randint(k2, (), center - window, center + window)
+    gathered = warp_segments(feat, center, target, min_len)
     do_warp = min_len > 2 * window + 1
     return jnp.where(do_warp, gathered, feat)
 

@@ -271,6 +271,10 @@ def train_step_gspmd(step_fn: Callable, mesh: Mesh,
         with jax.set_mesh(mesh):
             return jitted(state, batch, rng)
 
+    # the underlying jit object, for AOT/inspection (.lower(), cache
+    # stats); call it under `jax.set_mesh(mesh)` yourself if you bypass
+    # `run`
+    run.jitted = jitted
     return run
 
 
@@ -336,6 +340,7 @@ def multi_batch_step_gspmd(step_fn: Callable, mesh: Mesh,
         with jax.set_mesh(mesh):
             return jitted(state, stacked, rng)
 
+    run.jitted = jitted   # AOT/inspection access, as in train_step_gspmd
     return run
 
 
