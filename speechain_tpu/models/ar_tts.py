@@ -214,6 +214,12 @@ class ARTTSNet(nn.Module):
                    tgt_feat_len=tgt_len, text_len=text_len)
         if cross_att:
             out["cross_att"] = cross_att[0]
+        if return_att:
+            # full per-layer lists for validation visualization (the
+            # reference returns every decoder layer's matrices from its
+            # model_forward, model/ar_tts.py:430-447)
+            out["dec_self_att"] = self_att
+            out["dec_cross_att"] = cross_att
         return out
 
     def encode_text(self, text: Array, text_len: Array, *,

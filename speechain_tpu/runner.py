@@ -241,6 +241,8 @@ def merge_config(args) -> Dict[str, Any]:
     merged["loss_weights"] = exp_cfg.get("loss_weights")
     merged["visual_snapshot_interval"] = exp_cfg.get(
         "visual_snapshot_interval", 5)
+    merged["visual_snapshot_number"] = exp_cfg.get(
+        "visual_snapshot_number", 3)
     return merged
 
 
@@ -554,6 +556,14 @@ def train_main(cfg: Dict, args):
         early_stopping_patience=cfg["early_stopping_patience"])
     monitor = TrainValidMonitor(result_path, logger,
                                 report_per_steps=cfg["report_per_steps"])
+    from speechain_tpu.train.visualizer import ValidVisualizer
+    visualizer = ValidVisualizer(
+        family, monitor.shooter, tokenizer=tokenizer, net_cfg=net_cfg,
+        snapshot_number=int(cfg.get("visual_snapshot_number", 3) or 0),
+        snapshot_interval=int(cfg.get("visual_snapshot_interval", 5) or 0),
+        sample_rate=int(getattr(getattr(net_cfg, "frontend", None), "sr",
+                                16000) or 16000),
+        logger=logger)
     start_epoch = 1
     if args.resume and ckpt.has_checkpoint():
         state, meta = ckpt.restore_train_state(state)
@@ -563,6 +573,8 @@ def train_main(cfg: Dict, args):
                 monitor.load_state_dict(meta["monitor"])
             if "tracker" in meta:
                 tracker.load_state_dict(meta["tracker"])
+            if "visualizer" in meta:
+                visualizer.load_state_dict(meta["visualizer"])
         logger.info("resumed from epoch %d", start_epoch - 1)
 
     if n_hosts > 1:
@@ -734,62 +746,23 @@ def train_main(cfg: Dict, args):
         if epoch % cfg["valid_per_epochs"] == 0 and not args.dry_run \
                 and "valid" in loaders:
             for batch in loaders["valid"].epoch(epoch):
+                if not isinstance(loaders["valid"], MultiLoader):
+                    visualizer.maybe_select(batch)
                 db = to_device_batch(batch, epoch)
                 _, metrics = jvalid(state, db, ep_rng)
                 monitor.valid_step(metrics)
             valid_summary = monitor.finish_valid_epoch(epoch)
 
-            # attention-heatmap visualization snapshot every N epochs
-            # (reference model.visualize branch, model/ar_asr.py:602-727)
-            vis_every = int(cfg.get("visual_snapshot_interval", 5) or 0)
-            if n_hosts > 1:
-                vis_every = 0  # eager slicing of global arrays is not
-                # multi-controller-safe; snapshots are a single-host feature
-            if family == "asr" and vis_every and epoch % vis_every == 0:
-                try:
-                    vb = next(loaders["valid"].epoch(epoch))
-                    dvb = to_device_batch(vb, epoch)
-                    outputs = net.apply(
-                        {"params": state.params, **state.mutables},
-                        dvb["feat"][:1], dvb["feat_len"][:1],
-                        dvb["text"][:1], dvb["text_len"][:1],
-                        train=False, return_att=True,
-                        rngs={"dropout": ep_rng, "specaug": ep_rng})
-                    att = outputs.get("dec_cross_att")
-                    if att:
-                        monitor.shooter.snapshot(
-                            {"cross_att_layer0_head0":
-                             np.asarray(att[0][0, 0])},
-                            epoch, plot_type="matrix")
-                except Exception:
-                    logger.exception("visualization snapshot failed")
-            elif family in ("artts", "fastspeech2") and vis_every \
-                    and epoch % vis_every == 0:
-                # mel + alignment snapshots (reference model/ar_tts.py
-                # visualize branch: teacher-forced prediction heatmaps)
-                try:
-                    vb = next(loaders["valid"].epoch(epoch))
-                    dvb = to_device_batch(vb, epoch)
-                    one = {k: v[:1] for k, v in dvb.items()
-                           if hasattr(v, "ndim") and v.ndim > 0}
-                    fam_args, _ = family_init_args(family, one)
-                    kw = {"return_att": True} if family == "artts" else {}
-                    outputs = net.apply(
-                        {"params": state.params, **state.mutables},
-                        *fam_args, train=False, rngs={"dropout": ep_rng},
-                        **kw)
-                    T_v = int(outputs["tgt_feat_len"][0])
-                    monitor.shooter.snapshot(
-                        {"pred_mel": np.asarray(
-                            outputs["pred_after"][0, :T_v]).T},
-                        epoch, plot_type="matrix")
-                    if "cross_att" in outputs:
-                        monitor.shooter.snapshot(
-                            {"tts_cross_att_layer0_head0":
-                             np.asarray(outputs["cross_att"][0, 0])},
-                            epoch, plot_type="matrix")
-                except Exception:
-                    logger.exception("visualization snapshot failed")
+            # deep validation visualization every N epochs (reference
+            # model.visualize branch driven by the valid monitor,
+            # model/ar_asr.py:602-727, monitor.py:741-771): per-sample
+            # metric curves, audio/real-text once, hypothesis history,
+            # per-layer/head attention grids + .npz dumps. Multi-host:
+            # every process runs the same forward on the host-0 sample;
+            # only process 0 writes (train/visualizer.py).
+            visualizer.snapshot(
+                epoch, net, {"params": state.params, **state.mutables},
+                ep_rng)
 
             ckpt.save_epoch_model(epoch, state.params, state.mutables)
             decision = tracker.update(epoch, valid_summary)
@@ -805,7 +778,8 @@ def train_main(cfg: Dict, args):
                                    records=tracker.records), f, indent=1)
             ckpt.save_train_state(state, extra=dict(
                 epoch=epoch, monitor=monitor.state_dict(),
-                tracker=tracker.state_dict()))
+                tracker=tracker.state_dict(),
+                visualizer=visualizer.state_dict()))
             if decision["early_stop"]:
                 logger.info("early stopping at epoch %d", epoch)
                 break

@@ -93,8 +93,17 @@ class SnapShooter:
         self._thread.start()
 
     def snapshot(self, materials: Dict[str, List], step: int,
-                 plot_type: str = "curve"):
-        self.queue.put((plot_type, materials, step))
+                 plot_type: str = "curve", **kw):
+        """Enqueue one artifact write. Optional kwargs:
+
+        - ``subfolder``: route every material under
+          ``figures/<subfolder>/`` (the reference's per-sample
+          ``subfolder_names``, snapshooter.py:426-434);
+        - ``x_stride``: epochs between points of a curve / lines of a text
+          history (snapshooter.py:573, 758);
+        - ``sample_rate``: audio write rate.
+        """
+        self.queue.put((plot_type, materials, step, kw))
 
     def _worker(self):
         while True:
@@ -106,24 +115,62 @@ class SnapShooter:
             except Exception:  # snapshot failures must never kill training
                 logging.getLogger(__name__).exception("snapshot failed")
 
-    def _handle(self, plot_type: str, materials: Dict, step: int):
+    def _handle(self, plot_type: str, materials: Dict, step: int,
+                kw: Optional[Dict] = None):
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        kw = kw or {}
+        subfolder = kw.get("subfolder")
+        x_stride = int(kw.get("x_stride", 1) or 1)
+        base = (os.path.join(self.figure_dir, subfolder)
+                if subfolder else self.figure_dir)
+
+        if plot_type == "matrix_grid":
+            # one summary figure of ALL materials as subplots + one .npz
+            # holding every named matrix (the reference's sum_save grid +
+            # MatrixPlotter.save, snapshooter.py:680-720)
+            os.makedirs(base, exist_ok=True)
+            mats = {k: np.asarray(v, dtype=np.float32)
+                    for k, v in materials.items()}
+            np.savez(os.path.join(base, f"epoch{step}.npz"), **mats)
+            n = max(len(mats), 1)
+            cols = int(np.ceil(np.sqrt(n)))
+            rows = int(np.ceil(n / cols))
+            fig, axes = plt.subplots(rows, cols,
+                                     figsize=(3.2 * cols, 2.6 * rows),
+                                     squeeze=False)
+            for i, (mname, mat) in enumerate(sorted(mats.items())):
+                ax = axes[i // cols][i % cols]
+                ax.imshow(mat, aspect="auto", origin="lower")
+                ax.set_title(mname, fontsize=7)
+                ax.tick_params(labelsize=5)
+            for j in range(len(mats), rows * cols):
+                axes[j // cols][j % cols].axis("off")
+            fig.tight_layout()
+            fig.savefig(os.path.join(base, f"epoch{step}.png"), dpi=80)
+            plt.close(fig)
+            return
+
         for name, values in materials.items():
-            sub = os.path.join(self.figure_dir, name)
+            sub = base if subfolder else os.path.join(base, name)
             os.makedirs(sub, exist_ok=True)
             if plot_type == "curve":
                 arr = np.asarray(values, dtype=float)
-                np.savetxt(os.path.join(sub, f"{name}.txt"), arr)
+                xs = np.arange(len(arr)) * x_stride + (x_stride if subfolder
+                                                       else 0)
+                np.savetxt(os.path.join(sub, f"{name}.txt"),
+                           np.stack([xs, arr], -1) if x_stride > 1 else arr)
                 fig, ax = plt.subplots(figsize=(6, 4))
-                ax.plot(arr)
+                ax.plot(xs, arr)
                 ax.set_title(name)
+                ax.set_xlabel("epoch" if x_stride > 1 else "step")
                 fig.savefig(os.path.join(sub, f"{name}.png"), dpi=80)
                 plt.close(fig)
                 if self._tb is not None:
-                    self._tb.add_scalar(name, float(arr[-1]), step)
+                    tag = f"{subfolder}/{name}" if subfolder else name
+                    self._tb.add_scalar(tag, float(arr[-1]), step)
             elif plot_type == "matrix":
                 arr = np.asarray(values)
                 np.savez(os.path.join(sub, f"{name}_{step}.npz"), arr)
@@ -138,8 +185,20 @@ class SnapShooter:
                 fig.savefig(os.path.join(sub, f"{name}_{step}.png"), dpi=80)
                 plt.close(fig)
             elif plot_type == "text":
-                with open(os.path.join(sub, f"{name}.txt"), "a") as f:
-                    f.write(f"step {step}: {values}\n")
+                # full history rewrite, one "epoch<TAB>text" line per entry
+                # (reference text_snapshot's np.savetxt of (x_axis, material)
+                # pairs, snapshooter.py:736-763); a bare string appends
+                if isinstance(values, (list, tuple)):
+                    with open(os.path.join(sub, f"{name}.txt"), "w") as f:
+                        for i, line in enumerate(values):
+                            f.write(f"{i * x_stride + x_stride}\t{line}\n")
+                else:
+                    with open(os.path.join(sub, f"{name}.txt"), "a") as f:
+                        f.write(f"step {step}: {values}\n")
+                if self._tb is not None and isinstance(values, (list, tuple)) \
+                        and values:
+                    tag = f"{subfolder}/{name}" if subfolder else name
+                    self._tb.add_text(tag, str(values[-1]), step)
             elif plot_type == "audio":
                 # validation-sample listening (snapshooter.py:405-491):
                 # values = (wave, sample_rate) or a bare wave at 16 kHz
@@ -147,7 +206,7 @@ class SnapShooter:
                 if isinstance(values, tuple):
                     arr, sr = values
                 else:
-                    arr, sr = values, 16000
+                    arr, sr = values, int(kw.get("sample_rate", 16000))
                 arr = np.asarray(arr, dtype=np.float32).reshape(-1)
                 pcm = (np.clip(arr, -1.0, 1.0) * 32767).astype("<i2")
                 path = os.path.join(sub, f"{name}_{step}.wav")
@@ -157,8 +216,11 @@ class SnapShooter:
                     f.setframerate(int(sr))
                     f.writeframes(pcm.tobytes())
                 if self._tb is not None:
-                    self._tb.add_audio(name, arr[None], step,
-                                       sample_rate=int(sr))
+                    try:  # tensorboardX audio needs soundfile (optional)
+                        self._tb.add_audio(name, arr[None], step,
+                                           sample_rate=int(sr))
+                    except Exception:
+                        pass
 
     def wait_empty(self, timeout: float = 60.0):
         t0 = time.time()

@@ -17,6 +17,8 @@ data_root: {root}
 num_epochs: 2
 seed: 1
 report_per_steps: 5
+visual_snapshot_interval: 1
+visual_snapshot_number: 1
 data_cfg:
   train:
     type: abs
@@ -83,6 +85,22 @@ def test_chain_synthesize_end_to_end(tmp_path):
                               "--result_path", exp,
                               "--time_bucket", "1600"])
     runner.train_main(runner.merge_config(args), args)
+
+    # TTS validation-visualization artifacts (train/visualizer.py,
+    # reference model/ar_tts.py:552-670): interval 1 x 2 epochs, 1 sample
+    import re
+    fig = os.path.join(exp, "figures")
+    subs = [d for d in os.listdir(fig) if re.fullmatch(r"valid_\d+", d)]
+    assert len(subs) == 1, subs
+    sd = os.path.join(fig, subs[0])
+    for metric in ("loss", "stop_accuracy", "feat_loss_after"):
+        assert os.path.exists(os.path.join(sd, f"{metric}.png")), metric
+    assert os.path.exists(os.path.join(sd, "input_audio_1.wav"))
+    assert os.path.exists(os.path.join(sd, "real_text.txt"))
+    for epoch in (1, 2):
+        assert os.path.exists(os.path.join(sd, f"pred_feat_{epoch}.png"))
+        assert os.path.exists(
+            os.path.join(sd, "dec_cross_att", f"epoch{epoch}.npz"))
 
     syn = str(tmp_path / "syn")
     chain.synthesize_main([

@@ -177,6 +177,27 @@ def test_runner_end_to_end(tmp_path):
     models = os.listdir(os.path.join(exp, "models"))
     assert any(m.startswith("epoch_") for m in models)
 
+    # deep validation-visualization artifacts (train/visualizer.py,
+    # reference model.visualize ar_asr.py:602-727): default 3 samples /
+    # interval 5 over 8 epochs -> one snapshot at epoch 5 per sample
+    import re
+    fig = os.path.join(exp, "figures")
+    subs = sorted(d for d in os.listdir(fig)
+                  if re.fullmatch(r"valid_\d+", d))
+    assert len(subs) == 3, subs
+    for sname in subs:
+        sd = os.path.join(fig, sname)
+        for metric in ("cer", "wer", "accuracy", "text_confid", "loss"):
+            assert os.path.exists(os.path.join(sd, f"{metric}.png")), metric
+        assert os.path.exists(os.path.join(sd, "input_audio_5.wav"))
+        assert os.path.exists(os.path.join(sd, "real_text.txt"))
+        with open(os.path.join(sd, "hypo_text.txt")) as f:
+            assert f.read().startswith("5\t")
+        for group in ("enc_att", "dec_self_att", "dec_cross_att"):
+            mats = np.load(os.path.join(sd, group, "epoch5.npz"))
+            assert len(mats.files) > 0, group
+            assert os.path.exists(os.path.join(sd, group, "epoch5.png"))
+
     targs = runner.parse_args(
         ["--config", cfg_path, "--test", "--result_path", exp,
          "--test_model", "latest", "--time_bucket", "1600"])
