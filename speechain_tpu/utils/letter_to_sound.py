@@ -43,6 +43,9 @@ R = lambda frag, left, right, phones: (frag, left, right, phones.split())
 
 RULES = {
     "a": [
+        R("age", "#:", " ", "AH JH"),     # village language message
+        R("arr", "", "", "AE R"),         # carry arrow (rr sounds once)
+        R("ar", " ", "#", "AH R"),        # around arise
         R("ar", "", " ", "AA R"),
         R("ar", "", "", "AA R"),
         R("air", "", "", "EH R"),
@@ -55,6 +58,7 @@ RULES = {
         R("ange", "", "", "EY N JH"),
         R("a", "", "^e ", "EY"),          # magic e: a<cons>e#
         R("a", "", "^%", "EY"),
+        R("a", " ", "^^", "AE"),          # answer after ask (cluster)
         R("a", " ", "", "AH"),
         R("a", "", "", "AE"),
     ],
@@ -62,6 +66,8 @@ RULES = {
         R("b", "", "", "B"),
     ],
     "c": [
+        R("cean", "", " ", "SH AH N"),    # ocean
+        R("chine", "", " ", "SH IY N"),   # machine
         R("ch", "", "", "CH"),
         R("ci", "", "#", "SH"),           # -cious, -cial
         R("c", "", "+", "S"),             # ce ci cy
@@ -73,11 +79,14 @@ RULES = {
         R("d", "", "", "D"),
     ],
     "e": [
-        R("ear", "", "", "IH R"),
+        R("ear", "", "^", "ER"),          # earth early learn heard
+        R("ear", "", "", "IY R"),         # ear hear appear
+        R("eo", "", "", "IY"),            # people
         R("ee", "", "", "IY"),
         R("ea", "", "", "IY"),
         R("ew", "", "", "UW"),
         R("er", "", "", "ER"),
+        R("eign", "", "", "EY N"),        # reign foreign
         R("eigh", "", "", "EY"),
         R("ey", "", " ", "IY"),
         R("e", "", " ", ""),              # final silent e
@@ -89,6 +98,7 @@ RULES = {
         R("f", "", "", "F"),
     ],
     "g": [
+        R("gu", "n", "#", "G W"),         # language anguish
         R("gh", "", "", "G"),             # word-initial-ish gh ('ghost')
         R("gn", " ", "", "N"),
         R("g", "", "+", "JH"),            # ge gi gy
@@ -99,11 +109,14 @@ RULES = {
         R("h", "", "", ""),               # silent h
     ],
     "i": [
+        R("isl", "", "", "AY L"),         # island isle (silent s)
         R("igh", "", "", "AY"),
         R("ind", "", " ", "AY N D"),
         R("ir", "", "", "ER"),
         R("ie", "", " ", "AY"),
         R("ious", "", "", "IY AH S"),
+        R("ie", "", "^", "IY"),           # believe field
+        R("i", "", "e", "AY"),            # hiatus: quiet diet
         R("ion", "", " ", "AH N"),
         R("i", "", "^e ", "AY"),          # magic e
         R("i", "", "^%", "AY"),
@@ -129,7 +142,14 @@ RULES = {
         R("n", "", "", "N"),
     ],
     "o": [
-        R("ough", "", " ", "OW"),
+        R("other", "", "", "AH DH ER"),   # mother brother another
+        R("othing", "", "", "AH TH IH NG"),
+        R("orr", "", "", "AA R"),        # tomorrow sorrow borrow
+        R("ought", "", "", "AO T"),       # thought bought ought
+        R("ough", "thr", "", "UW"),       # through
+        R("ough", "th", "", "OW"),        # though although
+        R("ough", "", " ", "AH F"),       # enough rough tough
+        R("o", "", "cean ", "OW"),        # ocean
         R("or", "", "", "AO R"),
         R("oo", "", "", "UW"),
         R("ou", "", "", "AW"),
@@ -161,11 +181,13 @@ RULES = {
         R("sion", "", "", "SH AH N"),
         R("s", "#", " ", "Z"),            # plural after vowel
         R("s", ".", " ", "Z"),            # plural after voiced consonant
+        R("s", "#", "#", "Z"),            # intervocalic s: reason easy
         R("ss", "", "", "S"),
         R("s", "", "", "S"),
     ],
     "t": [
         R("tion", "", "", "SH AH N"),
+        R("ture", "", " ", "CH ER"),      # nature picture future
         R("th", " ", "", "TH"),
         R("th", "", " ", "TH"),
         R("th", "", "", "DH"),
@@ -175,7 +197,7 @@ RULES = {
         R("ur", "", "", "ER"),
         R("u", "", "^e ", "UW"),          # magic e
         R("u", "", "^%", "UW"),
-        R("u", " ", "", "Y UW"),
+        R("u", " ", "^#", "Y UW"),        # unit use; NOT under/until
         R("u", "", "", "AH"),
     ],
     "v": [

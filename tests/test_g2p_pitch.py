@@ -35,6 +35,22 @@ def test_letter_to_sound_known_patterns():
     assert letter_to_sound("quick") == ["K", "W", "IH1", "K"]
 
 
+def test_letter_to_sound_probe_per():
+    """OOV phoneme error rate against the embedded CMUdict probe set stays
+    at the measured level (docs/PARITY.md records 0.130/0.174; the gate
+    leaves headroom so probe-set tweaks don't flap it). The reference's
+    g2p_en neural model is the comparison point (tokenizer/g2p.py:112)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.g2p_eval import PROBE_LEXICON, evaluate
+
+    result = evaluate(PROBE_LEXICON)
+    assert result["n_words"] >= 150
+    assert result["per"] <= 0.16, result["per"]
+    assert result["per_stressed"] <= 0.21, result["per_stressed"]
+
+
 def test_g2p_tokenizer_oov_words_get_phones_not_unk(tmp_path):
     from speechain_tpu.data.tokenizer import GraphemeToPhonemeTokenizer
 
