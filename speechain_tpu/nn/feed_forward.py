@@ -39,6 +39,55 @@ def get_activation(name: str):
     return ACTIVATIONS[name]
 
 
+@jax.custom_jvp
+def _erf_rational(x):
+    """fp32 rational erf (Abramowitz & Stegun 7.1.26, |err| < 1.5e-7 —
+    below fp32 epsilon at gelu scales). Built from exp/mul/add only, all
+    of which Mosaic lowers; ``jax.nn.gelu(approximate=False)`` emits an
+    ``erfc`` primitive that has NO Pallas TPU lowering rule (observed:
+    NotImplementedError in lowering.py on the real chip)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.sign(xf)
+    a = jnp.abs(xf)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    y = 1.0 - (((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+                 - 0.284496736) * t + 0.254829592) * t) * jnp.exp(-a * a)
+    return (s * y).astype(x.dtype)
+
+
+@_erf_rational.defjvp
+def _erf_rational_jvp(primals, tangents):
+    # exact analytic derivative 2/sqrt(pi) * exp(-x^2): autodiffing
+    # through the 5th-order rational would materialize ~6 extra (rows, F)
+    # f32 temporaries on the Mosaic vmem STACK in kernel backwards —
+    # measured 16.36M vs the 16M scoped-vmem limit at the FFN kernel's
+    # production block shape. The closed form is also the truer gradient.
+    (x,), (dx,) = primals, tangents
+    xf = x.astype(jnp.float32)
+    d = jnp.asarray(1.1283791670955126, jnp.float32) * jnp.exp(-xf * xf)
+    return _erf_rational(x), (d * dx.astype(jnp.float32)).astype(x.dtype)
+
+
+# in-kernel (Pallas) activation table: identical to ACTIVATIONS except
+# GELU, whose exact-erf form is expressed via the rational erf above so
+# the kernel lowers on TPU. Max |gelu drift| vs lax erf ~1e-7 * |x| —
+# invisible at the kernels' bf16/fp32 test tolerances.
+KERNEL_ACTIVATIONS = dict(
+    ACTIVATIONS,
+    GELU=lambda x: 0.5 * x * (1.0 + _erf_rational(
+        x * jnp.asarray(0.7071067811865476, x.dtype))),
+)
+
+
+def get_kernel_activation(name: str):
+    """Activation for use INSIDE Pallas kernel bodies (see
+    KERNEL_ACTIVATIONS). Module-level (XLA) code uses get_activation."""
+    if name not in KERNEL_ACTIVATIONS:
+        raise KeyError(f"unknown activation {name!r}; "
+                       f"known: {sorted(KERNEL_ACTIVATIONS)}")
+    return KERNEL_ACTIVATIONS[name]
+
+
 def _ffn_fused_ok(x, d_model: int, fdfwd_dim: int) -> bool:
     from speechain_tpu.ops.pallas_ffn import fused_ffn_enabled
     if not fused_ffn_enabled():

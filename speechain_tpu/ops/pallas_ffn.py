@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from speechain_tpu.nn.feed_forward import get_activation
+from speechain_tpu.nn.feed_forward import get_kernel_activation as get_activation
 from speechain_tpu.ops.pallas_attention import _dropout_mask
 
 Array = jnp.ndarray

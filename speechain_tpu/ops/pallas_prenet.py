@@ -74,7 +74,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (TPU lowering)
 
-from speechain_tpu.nn.feed_forward import get_activation
+from speechain_tpu.nn.feed_forward import get_kernel_activation as get_activation
 
 Array = jnp.ndarray
 
