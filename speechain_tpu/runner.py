@@ -746,7 +746,14 @@ def train_main(cfg: Dict, args):
         if epoch % cfg["valid_per_epochs"] == 0 and not args.dry_run \
                 and "valid" in loaders:
             for batch in loaders["valid"].epoch(epoch):
-                if not isinstance(loaders["valid"], MultiLoader):
+                if isinstance(batch, dict) and batch and all(
+                        isinstance(v, dict) for v in batch.values()) \
+                        and "feat" not in batch and "text" not in batch:
+                    # multi-domain: visualize the first valid domain (the
+                    # reference's visual_domain pick, runner.py:994-1007)
+                    visualizer.maybe_select(
+                        batch[sorted(batch.keys())[0]])
+                else:
                     visualizer.maybe_select(batch)
                 db = to_device_batch(batch, epoch)
                 _, metrics = jvalid(state, db, ep_rng)

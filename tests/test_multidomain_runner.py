@@ -14,6 +14,8 @@ data_root: {root}
 num_epochs: 2
 seed: 3
 report_per_steps: 5
+visual_snapshot_interval: 2
+visual_snapshot_number: 1
 
 loss_weights:
   real: 1.0
@@ -99,3 +101,12 @@ def test_multidomain_cli_training(tmp_path):
     # per-domain metrics must appear in the log
     log = open(os.path.join(exp, "train.log")).read()
     assert "real_ce_loss" in log and "syn_ce_loss" in log
+    # visualization runs for multi-domain models too (reference picks one
+    # visual domain, runner.py:994-1007): epoch-2 snapshot of 1 sample
+    import re
+    fig = os.path.join(exp, "figures")
+    subs = [d for d in os.listdir(fig) if re.fullmatch(r"test_\d+", d)]
+    assert len(subs) == 1, sorted(os.listdir(fig))
+    sd = os.path.join(fig, subs[0])
+    assert os.path.exists(os.path.join(sd, "accuracy.png"))
+    assert os.path.exists(os.path.join(sd, "hypo_text.txt"))
