@@ -102,7 +102,10 @@ def bench_asr_pool(slots: int, utt_secs: float, n_utts: int,
         train=False)
 
     utt_samples = int(utt_secs * SR)
-    max_frames = int(utt_samples / (cfg.frontend.hop * SR)) + 64
+    # max_frames is the ENCODER-frame KV capacity: mel frames (hop is in
+    # samples) over the prenet's 2x2 stride reduction, plus slack
+    mel_frames = utt_samples // int(cfg.frontend.hop)
+    max_frames = mel_frames // 4 + 64
     pool = StreamPool(net, variables, slots=slots,
                       chunk_samples=chunk_samples, max_frames=max_frames)
     server = StreamServer(pool)
@@ -293,7 +296,12 @@ def main(argv=None):
     out = dict(device=str(jax.devices()[0]),
                date=time.strftime("%Y-%m-%d"),
                note="serving surfaces are beyond-parity: the reference "
-                    "has no streaming/continuous-batching mode")
+                    "has no streaming/continuous-batching mode",
+               link_note="this harness reaches the chip through a "
+                         "tunneled link with ~26 ms fixed RTT per "
+                         "synchronous dispatch (docs/BENCHMARKS.md); "
+                         "per-tick latencies here are RTT-dominated and "
+                         "are upper bounds for a locally-attached chip")
     if "asr" not in skip:
         out["asr_pool"] = []
         # kernel-fallback ladder (bench.py protocol): a Pallas kernel that
@@ -328,6 +336,11 @@ def main(argv=None):
         progress("streaming vocoder")
         out["streaming_vocoder"] = bench_streaming_vocoder(40, progress)
         progress(json.dumps(out["streaming_vocoder"]))
+        # larger chunks amortize the ~26 ms fixed dispatch RTT of this
+        # tunneled link (docs/BENCHMARKS.md): latency/throughput knob
+        out["streaming_vocoder_c160"] = bench_streaming_vocoder(
+            160, progress)
+        progress(json.dumps(out["streaming_vocoder_c160"]))
     if "artts" not in skip:
         progress("streaming AR-TTS")
         out["streaming_artts"] = bench_streaming_artts(progress)
