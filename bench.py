@@ -227,24 +227,35 @@ def main():
     ab = os.environ.get("BENCH_AB", "1")
     if ("kernel_fallback" not in _METRICS and ab != "0"
             and (ab == "force" or jax.default_backend() != "cpu")):
-        for fam, flag in (("convmod", "SPEECHAIN_DISABLE_FUSED_CONVMOD"),
-                          ("prenet", "SPEECHAIN_DISABLE_FUSED_PRENET")):
-            _METRICS[f"ab_{fam}_on_ms_per_step"] = round(dt / N * 1e3, 2)
+        # (family, probe flag, value, baseline-is-fused?): convmod defaults
+        # fused (probe = off); the prenet XLA core defaults OFF since the
+        # r5 A/B measured it 28.7 ms/step slower (patch-matrix layout) —
+        # its probe forces it ON so a layout fix would be noticed.
+        for fam, flag, val, base_fused in (
+                ("convmod", "SPEECHAIN_DISABLE_FUSED_CONVMOD", "1", True),
+                ("prenet", "SPEECHAIN_FORCE_FUSED_PRENET", "xla", False)):
+            base_key = "on" if base_fused else "off"
+            probe_key = "off" if base_fused else "on"
+            _METRICS[f"ab_{fam}_{base_key}_ms_per_step"] = round(
+                dt / N * 1e3, 2)
             try:
-                os.environ[flag] = "1"
-                _progress(f'A/B: re-timing with the fused {fam} disabled')
+                os.environ[flag] = val
+                _progress(f'A/B: re-timing with the fused {fam} '
+                          f'{"disabled" if base_fused else "forced on"}')
                 dt2, state2 = time_train()
-                _METRICS[f"ab_{fam}_off_ms_per_step"] = round(
+                _METRICS[f"ab_{fam}_{probe_key}_ms_per_step"] = round(
                     dt2 / N * 1e3, 2)
                 if dt2 < dt:
                     dt, state = dt2, state2
                     _METRICS["kernel_fallback"] = (
-                        f"{flag} (A/B: unfused {fam} faster)")
+                        f"{flag}={val} (A/B: "
+                        f"{'unfused' if base_fused else 'fused'} "
+                        f"{fam} faster)")
                 else:
                     del os.environ[flag]
             except Exception as e:              # noqa: BLE001 — A/B is best-
-                _progress(f'A/B {fam} attempt failed (keeping fused-on '
-                          f'result): {type(e).__name__}: {str(e)[:200]}')
+                _progress(f'A/B {fam} attempt failed (keeping the default '
+                          f'path): {type(e).__name__}: {str(e)[:200]}')
                 os.environ.pop(flag, None)
 
     n_chips = len(jax.devices())

@@ -84,24 +84,33 @@ def _interpret() -> bool:
 
 
 def prenet_core_impl():
-    """Which fused-prenet core is active: ``"xla"`` (default),
-    ``"pallas"``, or ``None`` (unfused flax path).
+    """Which fused-prenet core is active: ``None`` (default: unfused flax
+    path), ``"xla"``, or ``"pallas"``.
 
-    - default: the XLA core (:func:`xla_prenet_core`) — analytic BN1
-      folded into the conv1 weights, plain autodiff backward.
+    The default is the UNFUSED path because both fused realizations lose
+    on the real chip (measured, not theorized):
+
+    - ``SPEECHAIN_FORCE_FUSED_PRENET=xla``: the XLA core
+      (:func:`xla_prenet_core`) — analytic BN1 folded into the conv1
+      weights, plain autodiff backward. Numerically exact (fwd, every
+      grad, BN stats — tests/test_pallas_prenet.py) but **measured 28.7
+      ms/step SLOWER than unfused** at the bench config on v5e
+      (BENCH_r05 A/B: 142.9 ms prenet-on vs 114.2 ms prenet-off): plain
+      XLA must materialize the (positions, 9) patch matrix to HBM, and
+      its 9-wide lane dimension wastes ~93% of every (8, 128) tile, so
+      the extra memory traffic dwarfs the ~10 ms of saved BN stat
+      passes. A VMEM-resident patch build (the Pallas core) is the only
+      layout that wins this fusion.
     - ``SPEECHAIN_FORCE_FUSED_PRENET=1`` (or ``pallas``): the Pallas
       kernel (:func:`fused_prenet_core`). Blocked by the TPU toolchain,
-      not by design — numerics are proven against the unfused flax path
-      (tests/test_pallas_prenet.py), but on the real chip the forward
-      kernel cannot be compiled: the fully unrolled chunk loop OOMs
-      Mosaic's scoped-vmem STACK (18-23 MB vs the 16 MB limit) and the
-      rolled fori_loop variant crashes `tpu_compile_helper` outright —
-      the same failure class that forced the conv-module ddwk out of
-      its kernel (ops/pallas_convmod.py). Demoted back to ``"xla"``
-      under ``SPEECHAIN_DISABLE_PALLAS`` (which governs Mosaic kernels
-      only — the XLA core is not a Pallas kernel and stays on).
-    - ``SPEECHAIN_DISABLE_FUSED_PRENET=1``: unfused flax path (the
-      bench A/B lever).
+      not by design — the fully unrolled chunk loop OOMs Mosaic's
+      scoped-vmem STACK (18-23 MB vs the 16 MB limit) and the rolled
+      fori_loop variant crashes `tpu_compile_helper` outright — the
+      same failure class that forced the conv-module ddwk out of its
+      kernel (ops/pallas_convmod.py). Demoted to ``"xla"`` under
+      ``SPEECHAIN_DISABLE_PALLAS`` (which governs Mosaic kernels only).
+    - ``SPEECHAIN_DISABLE_FUSED_PRENET=1``: force the unfused flax path
+      regardless (the bench A/B lever).
     """
     import os
     if os.environ.get("SPEECHAIN_DISABLE_FUSED_PRENET"):
@@ -111,7 +120,9 @@ def prenet_core_impl():
         if os.environ.get("SPEECHAIN_DISABLE_PALLAS"):
             return "xla"
         return "pallas"
-    return "xla"
+    if force == "xla":
+        return "xla"
+    return None
 
 
 def fused_prenet_enabled() -> bool:

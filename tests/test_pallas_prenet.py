@@ -160,9 +160,15 @@ def test_input_grad_equivalence_xla(data):
     assert err < 5e-4, f"input grad rel err {err:.2e}"
 
 
-def test_default_impl_is_xla():
+def test_default_impl_is_unfused():
+    """Default = unfused flax path: the XLA core measured 28.7 ms/step
+    SLOWER at the bench config on v5e (BENCH_r05 A/B — the materialized
+    patch matrix's 9-wide lane layout outweighs the saved stat passes);
+    both fused cores stay opt-in (prenet_core_impl docstring)."""
     from speechain_tpu.ops.pallas_prenet import prenet_core_impl
     with _env({}):
+        assert prenet_core_impl() is None
+    with _env({"SPEECHAIN_FORCE_FUSED_PRENET": "xla"}):
         assert prenet_core_impl() == "xla"
     with _env({"SPEECHAIN_DISABLE_FUSED_PRENET": "1"}):
         assert prenet_core_impl() is None
