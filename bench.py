@@ -310,6 +310,11 @@ def main():
     # threshold * best-other (both negative), so a hugely NEGATIVE threshold
     # makes the bar +inf and eos never fires. Same protocol as
     # docs/BENCHMARKS.md "Decoding".
+    if os.environ.get("BENCH_TRAIN_ONLY", "") == "1":
+        # batch-sweep / probe mode: skip the decode+TTS sections (their
+        # numbers do not depend on BENCH_BATCH)
+        print(json.dumps(_METRICS), flush=True)
+        return
     try:
         _decode_bench(batch, net, state, n_chips, SECS)
     except Exception as e:                      # noqa: BLE001 — keep train #

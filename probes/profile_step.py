@@ -5,6 +5,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (same as bench.py): repeat probe runs skip the
+# multi-minute remote compiles
+try:
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/speechain_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from speechain_tpu.utils.hardware import enable_hardware_rng
 enable_hardware_rng()
 from speechain_tpu.models.ar_asr import ARASRConfig, ARASRNet

@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from speechain_tpu.nn.norms import FlatDropout, LayerNorm
+from speechain_tpu.nn.norms import FlatDropout, LayerNorm, bn_norm
 from speechain_tpu.nn.attention import RelPosMultiHeadedAttention
 from speechain_tpu.nn.feed_forward import PositionwiseFeedForward
 from speechain_tpu.nn.posenc import RelPositionalEncoding
@@ -171,8 +171,7 @@ class _BNApply(nn.Module):
                                 (1.0 - self.momentum) * var)
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = ((u.astype(jnp.float32) - mean) * jax.lax.rsqrt(
-            var + self.epsilon) * scale + bias)
+        y = bn_norm(u, mean, var, scale, bias, self.epsilon)
         return y.astype(self.dtype)
 
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 import flax.linen as nn
+
+from speechain_tpu.nn.norms import FastBatchNorm
 import jax.numpy as jnp
 
 from speechain_tpu.nn.feed_forward import get_activation
@@ -58,7 +60,7 @@ class Conv1dPostnet(nn.Module):
                          use_bias=not self.conv_batchnorm,
                          dtype=self.dtype, name=f"conv_{i}")(x)
             if self.conv_batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = FastBatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  axis_name=self.bn_axis_name,
                                  name=f"batchnorm_{i}")(x)

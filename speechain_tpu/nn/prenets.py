@@ -12,6 +12,8 @@ import math
 from typing import Any, List, Optional, Sequence, Union
 
 import flax.linen as nn
+
+from speechain_tpu.nn.norms import FastBatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -167,7 +169,7 @@ class Conv1dPrenet(nn.Module):
                             use_bias=not self.conv_batchnorm,
                             dtype=self.dtype, name=f"conv_{i}")(feat)
             if self.conv_batchnorm:
-                feat = nn.BatchNorm(use_running_average=not train,
+                feat = FastBatchNorm(use_running_average=not train,
                                     momentum=0.9, epsilon=1e-5,
                                     dtype=self.dtype,
                                     axis_name=self.bn_axis_name,
@@ -377,7 +379,7 @@ class Conv2dPrenet(nn.Module):
                                              w2.reshape(9, C, C),
                                              T2, F2, self.conv_activation)
                 x = out20.reshape(B, T2, Vp, C)[:, :, :F2, :]
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = FastBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              axis_name=self.bn_axis_name,
                              name="batchnorm_1")(x)
@@ -401,7 +403,7 @@ class Conv2dPrenet(nn.Module):
                         use_bias=not self.conv_batchnorm, dtype=self.dtype,
                         name=f"conv_{i}")(x)
             if self.conv_batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = FastBatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  axis_name=self.bn_axis_name,
                                  name=f"batchnorm_{i}")(x)
