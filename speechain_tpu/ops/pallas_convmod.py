@@ -40,6 +40,17 @@ the compiler with both). Instead the kernel exports the recomputed GLU
 activation ``a`` (float32, one extra HBM write it already holds in VMEM)
 and the wrapper computes ddwk as K shifted multiply-reduces in XLA —
 ~0.4 GFLOP at production dims, fused by XLA, numerically identical.
+
+On TPU the ``a`` export is in the compute dtype (bf16; interpret mode
+keeps f32 so the CPU tests stay exact). Measured precision baseline on
+the real chip (probes/ddwk_bf16_error.py, 2026-08-20, v5e, bench conv
+dims B=16 T=200 C=256 K=31, bf16 compute): max relative ddwk error vs
+an all-f32 XLA ground truth is **1.9e-3 for the fused kernel with the
+bf16 export vs 4.0e-3 for plain-XLA autodiff at the same bf16 forward**
+— the export adds nothing beyond the bf16-forward noise every path
+carries (the kernel is ~2x MORE accurate than XLA-bf16 thanks to its
+in-kernel f32 accumulation). Future tolerance changes: re-run the probe
+and update these numbers.
 """
 
 from __future__ import annotations

@@ -97,10 +97,13 @@ def parse_args(argv=None):
                    help="compile K optimizer updates into one executable "
                         "(lax.scan over stacked same-shape batches); pays "
                         "host/link dispatch latency once per K steps. "
-                        "Numerically identical to K single steps. On "
-                        "remote-tunnel backends where Mosaic kernels "
-                        "deoptimize inside loops (docs/BENCHMARKS.md), "
-                        "combine with SPEECHAIN_DISABLE_PALLAS=1.")
+                        "Numerically identical to K single steps. Safe to "
+                        "combine with the Pallas kernels: on the current "
+                        "toolchain scanned Mosaic matches scanned XLA "
+                        "(docs/BENCHMARKS.md 'Scanned multi-step anomaly' "
+                        "-- RESOLVED, 1.38 vs 1.39 ms/unit), and the "
+                        "runner self-checks at runtime and warns if a "
+                        "scanned dispatch ever loses >1.5x on the link.")
     p.add_argument("--num_worker_procs", type=int, default=0,
                    help="host loader worker PROCESSES (collate included); "
                         "use on multi-core hosts where the GIL caps the "
