@@ -282,7 +282,12 @@ def _fwd_kernel(m_ref, w1_ref, g1_ref, b1_ref, w2_ref, o_ref, *,
     the unrolled loop OOMed Mosaic's scoped-vmem stack (per-iteration
     temporaries are not reused across an unroll) and the rolled fori_loop
     crashed `tpu_compile_helper`; grid steps reuse scoped vmem by
-    construction. M's block index ignores the chunk axis, so the patch
+    construction. On-chip outcome (round 5, probes/prenet_ab.py at bench
+    dims): this grid-walked variant ALSO crashes `tpu_compile_helper`
+    (HTTP 500, subprocess exit 1) on the current toolchain — same crash
+    class, so the restructuring dodged the scoped-vmem OOM but not the
+    compiler bug; the kernel stays opt-in and interpret-verified.
+    M's block index ignores the chunk axis, so the patch
     matrix stays VMEM-resident across a batch row's chunks. Phases are
     processed sequentially (one conv1 phase live at a time) to cap live
     temporaries. T2p is pre-padded to a chunk multiple by the wrapper;
