@@ -9,6 +9,12 @@ CPU): forward value + input gradient of `flash_relpos_attention` (which
 takes the TPU branches) against the plain-XLA rel_shift reference, for
 several T values spanning the band-geometry cases (T % 8, P padding,
 column offset c). Promoted from probes/rel_tpu_check.py.
+
+To run on the real chip through the test conftest (which pins tests to
+the virtual CPU mesh by default):
+``SPEECHAIN_TPU_TEST_PLATFORM=axon pytest tests/test_tpu_kernel_branches.py``
+— last executed on hardware in round 5: 5/5 passed (v5e, ~18 min,
+compile-dominated).
 """
 
 import jax
